@@ -1,0 +1,135 @@
+"""Headline benchmark: pMCTF GOP-16 1080p coding throughput on one chip.
+
+Measures the flagship video path end-to-end on the real TPU: hierarchical
+MCTF over a 16-frame GOP (15 luma pair-codings + 15 chroma pair-codings
+with reused halved MVs + full temporal decode), padded-1080p planes
+(1152x1920 luma, 576x960 chroma), entropy rate estimated on-device
+(the bitstream path's symbol planes come from the same graphs; host rANS
+runs concurrently in production).
+
+Baseline note: the reference repo publishes no fps numbers (BASELINE.md).
+The driver's north star is >=5x the reference's A100 fps per v5e chip.
+We take 0.4 fps as the assumed reference A100 GOP-16 1080p throughput
+(sub-second per 1080p P-frame on A100 is optimistic for this model class)
+and report vs_baseline against the 5x target of 2.0 fps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+TARGET_FPS = 2.0  # 5x assumed 0.4 fps A100 reference
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from learned_pmctf_tpu.models import PMCTF
+
+    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep")
+    g = np.random.default_rng(0)
+
+    # init at small spatial size (params are shape-agnostic)
+    small_ref = jnp.asarray(g.integers(0, 256, (1, 1, 128, 128)), jnp.float32)
+    dpb0 = {"mv_feature": None, "ref_mv_y": None}
+    params = jax.jit(
+        lambda r: module.init(r, small_ref, small_ref, 10, dpb0,
+                              method=PMCTF.full_init_graph)
+    )({"params": jax.random.PRNGKey(0)})
+
+    gop = 16
+    num_stages = 4
+    h, w = 1152, 1920  # 1080p padded to 128
+    luma = [jnp.asarray(g.integers(0, 256, (1, 1, h, w)), jnp.float32)
+            for _ in range(gop)]
+    chroma = [jnp.asarray(g.integers(0, 256, (2, 1, h // 2, w // 2)), jnp.float32)
+              for _ in range(gop)]
+
+    def luma_fn(params, ref, cur, dpb, code_lt, stage):
+        out = module.apply(params, ref, cur, jnp.float32(10.0), code_lt, dpb,
+                           stage_idx=stage, training=False)
+        keep = {k: out[k] for k in ("L_t", "H_t", "mv_hat", "bpp", "dpb")}
+        return keep
+
+    def chroma_fn(params, ref, cur, mv, code_lt, stage):
+        out = module.apply(params, ref, cur, jnp.float32(10.0), code_lt,
+                           dpb0, mv_hat=mv, stage_idx=stage, training=False)
+        return {k: out[k] for k in ("L_t", "H_t", "bpp")}
+
+    def inv_fn(params, l, h, mv, stage, downscale):
+        return module.apply(params, l, h, mv, stage, downscale,
+                            method=PMCTF.inverse_mctf)
+
+    jit_luma = {}
+    jit_chroma = {}
+    jit_inv = {}
+    for st in range(num_stages):
+        for lt in (False, True):
+            jit_luma[(st, lt)] = jax.jit(
+                lambda p, r, c, d, s=st, l=lt: luma_fn(p, r, c, d, l, s))
+            jit_chroma[(st, lt)] = jax.jit(
+                lambda p, r, c, mv, s=st, l=lt: chroma_fn(p, r, c, mv, l, s))
+        jit_inv[(st, False)] = jax.jit(
+            lambda p, l, hh, mv, s=st: inv_fn(p, l, hh, mv, s, False))
+        jit_inv[(st, True)] = jax.jit(
+            lambda p, l, hh, mv, s=st: inv_fn(p, l, hh, mv, s, True))
+
+    def code_gop():
+        fl = list(luma)
+        fc = list(chroma)
+        mvs = [None] * gop
+        pairs = gop // 2
+        for stage in range(num_stages):
+            dpb = dpb0
+            for gi in range(pairs):
+                step = 2 ** stage
+                fi = gi * 2 * step
+                code_lt = stage == num_stages - 1
+                st = min(stage, module.num_me_stages - 1)
+                out = jit_luma[(st, code_lt)](params, fl[fi], fl[fi + step], dpb)
+                dpb = out["dpb"]
+                outc = jit_chroma[(st, code_lt)](
+                    params, fc[fi], fc[fi + step], out["mv_hat"])
+                fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
+                fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
+                mvs[fi + step] = out["mv_hat"]
+            pairs //= 2
+        # temporal decode
+        pairs = 1
+        for stage in reversed(range(num_stages)):
+            st = min(stage, module.num_me_stages - 1)
+            for gi in reversed(range(pairs)):
+                step = 2 ** stage
+                fi = gi * 2 * step
+                fl[fi], fl[fi + step] = jit_inv[(st, False)](
+                    params, fl[fi], fl[fi + step], mvs[fi + step])
+                fc[fi], fc[fi + step] = jit_inv[(st, True)](
+                    params, fc[fi], fc[fi + step], mvs[fi + step])
+            pairs *= 2
+        return fl, fc
+
+    # warmup (compiles every (stage, code_lt) variant)
+    fl, fc = code_gop()
+    jax.block_until_ready((fl, fc))
+
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        fl, fc = code_gop()
+        jax.block_until_ready((fl, fc))
+    dt = (time.perf_counter() - t0) / runs
+
+    fps = gop / dt
+    print(json.dumps({
+        "metric": "pmctf_gop16_1080p_code_decode_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Host bitstream codec for the pWave image coder.
+
+Orchestrates jitted device sub-graphs with host-side rANS:
+
+- compress: ONE device program computes every symbol/index plane for the
+  whole image (teacher-forced; strictly-causal models make this exact);
+  the host then streams them to the rANS encoder while the device is free
+  (ref redesign of pMCTF/models/pWave.py:381-463 — the reference loops
+  per subband and per pixel on the GPU side).
+- decompress: four-step subbands need 4 rANS round trips each; between
+  them small jitted parameter sub-graphs run on device. The AR LL mode
+  decodes per pixel (reference-parity path; ref: pWave.py:557-584).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..entropy.coder import (
+    EntropyCoder,
+    GaussianEncoder,
+    build_indexes_from_scales,
+)
+from ..models.pwave import PWave, BANDS
+from ..utils.stream import encode_image, decode_image
+
+PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+class PWaveCodec:
+    """Host wrapper: (module, params) -> real bitstreams and back."""
+
+    def __init__(self, module: PWave, params, ec_thread: bool = False,
+                 stream_part: int = 1):
+        self.module = module
+        self.params = params
+        self.coder = EntropyCoder(ec_thread, stream_part)
+        self.em = GaussianEncoder("laplace")
+        self.em.update(force=True, entropy_coder=self.coder)
+        self._jits: Dict = {}
+
+    # ---- jit cache ----------------------------------------------------------
+
+    def _jit(self, key, fn, **jit_kwargs):
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn, **jit_kwargs)
+        return self._jits[key]
+
+    def update(self, force: bool = False):
+        self.em.update(force=force, entropy_coder=self.coder)
+
+    # ---- compression ---------------------------------------------------------
+
+    def compress(self, x, q_index: int, qp_scale=None,
+                 file_name: Optional[str] = None, sideinfo=None):
+        """Encode padded planes x (B,1,H,W); returns encoder-side recon.
+
+        sideinfo = (batch, num_channels, true_height, true_width) for the
+        container header (ref: pWave.py:381-459)."""
+        qp = None if qp_scale is None else jnp.float32(qp_scale)
+        if qp is None:
+            fn = self._jit(
+                "encode_planes",
+                lambda p, x, q: self.module.apply(
+                    p, x, q, method=PWave.encode_planes))
+            plan, x_hat = fn(self.params, x, jnp.float32(q_index))
+        else:
+            fn = self._jit(
+                "encode_planes_qp",
+                lambda p, x, q, qs: self.module.apply(
+                    p, x, q, qs, method=PWave.encode_planes))
+            plan, x_hat = fn(self.params, x, jnp.float32(q_index), qp)
+
+        self.coder.reset()
+        for entry in plan:
+            if isinstance(entry["symbols"], (tuple, list)):  # four-step
+                for k in range(4):
+                    self.coder.encode_with_indexes(
+                        np.asarray(entry["symbols"][k]).reshape(-1),
+                        np.asarray(entry["indexes"][k]).reshape(-1),
+                        self.em._cdf, self.em._cdf_length, self.em._offset)
+            else:  # AR (single pixel-major plane)
+                self.coder.encode_with_indexes(
+                    np.asarray(entry["symbols"]).reshape(-1),
+                    np.asarray(entry["indexes"]).reshape(-1),
+                    self.em._cdf, self.em._cdf_length, self.em._offset)
+        self.coder.flush()
+        bit_stream = self.coder.get_encoded_stream()
+        if file_name is not None:
+            _, num_channels, height, width = sideinfo
+            encode_image(height, width, num_channels, bit_stream, file_name)
+        return x_hat, bit_stream
+
+    # ---- decompression -------------------------------------------------------
+
+    def _decode_fourstep(self, key: str, shape, context, prev_subband,
+                         q_index, qp_scale):
+        """Decode one four-step subband; returns the quantized subband."""
+        b, c, h, w = shape
+        like = jnp.zeros(shape, jnp.float32)
+
+        hier = self._jit(
+            ("hier", key, prev_subband is None, context is None),
+            lambda p, ctx, prev, like: self.module.apply(
+                p, key, ctx, prev, like, method=PWave.fusion_hier))
+        ctx_feat, scales, means = hier(self.params, context, prev_subband, like)
+
+        extract = self._jit(
+            "extract_idx",
+            lambda s, k: build_indexes_from_scales(
+                s[:, :, PHASES[k][0]::2, PHASES[k][1]::2]),
+            static_argnums=1)
+        scatter = self._jit(
+            "scatter4",
+            lambda xh, vals, m, k: xh.at[
+                :, :, PHASES[k][0]::2, PHASES[k][1]::2].set(
+                vals + m[:, :, PHASES[k][0]::2, PHASES[k][1]::2]),
+            static_argnums=3)
+
+        x_hat = jnp.zeros(shape, jnp.float32)
+        for step in range(4):
+            idx = extract(scales, step)
+            vals = self.coder.decode_stream(
+                np.asarray(idx), self.em._cdf, self.em._cdf_length,
+                self.em._offset)
+            vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            x_hat = scatter(x_hat, vals, means, step)
+            if step < 3:
+                spatial = self._jit(
+                    ("spatial", key, step, ctx_feat is None),
+                    lambda p, xh, cf, s=step: self.module.apply(
+                        p, key, xh, cf, s, method=PWave.fusion_spatial))
+                scales, means = spatial(self.params, x_hat, ctx_feat)
+        return x_hat
+
+    def _decode_ar_ll(self, shape):
+        """Per-pixel AR decode (reference-parity mode)."""
+        b, c, h, w = shape
+
+        params_fn = self._jit(
+            "ar_params",
+            lambda p, partial: self.module.apply(
+                p, partial, method=PWave.ar_params))
+        pick = self._jit(
+            "ar_pick",
+            lambda sc, mn, hh, ww: (
+                jax.lax.dynamic_slice(sc, (0, 0, hh, ww), (b, c, 1, 1)),
+                jax.lax.dynamic_slice(mn, (0, 0, hh, ww), (b, c, 1, 1))))
+        write = self._jit(
+            "ar_write",
+            lambda partial, v, hh, ww: jax.lax.dynamic_update_slice(
+                partial, v, (0, 0, hh, ww)))
+
+        partial = jnp.zeros(shape, jnp.float32)
+        for hh in range(h):
+            for ww in range(w):
+                scales, means = params_fn(self.params, partial)
+                sc, mn = pick(scales, means, hh, ww)
+                idx = build_indexes_from_scales(sc)
+                vals = self.coder.decode_stream(
+                    np.asarray(idx), self.em._cdf, self.em._cdf_length,
+                    self.em._offset)
+                vals = jnp.asarray(
+                    vals.reshape(sc.shape), jnp.float32) + jnp.round(mn)
+                partial = write(partial, vals, hh, ww)
+        return partial
+
+    def decompress(self, file_name: Optional[str] = None, stream: bytes = None,
+                   shape=None, padding: int = 128, q_index: int = 0,
+                   qp_scale=None):
+        """Decode a bitstream back to planes. ref: pWave.py:467-529."""
+        if file_name is not None:
+            height, width, num_channels, stream = decode_image(file_name)
+        else:
+            height, width, num_channels = shape
+        self.coder.set_stream(stream)
+
+        p = padding
+        new_h = (height + p - 1) // p * p
+        new_w = (width + p - 1) // p * p
+        L = self.module.decomp_levels
+        batch = num_channels
+
+        subbands_hat = {lvl: {} for lvl in range(L)}
+        sub_h = new_h // (2 ** L)
+        sub_w = new_w // (2 ** L)
+        ll_shape = (batch, 1, sub_h, sub_w)
+
+        if self.module.ll_mode == "ar":
+            ll_hat = self._decode_ar_ll(ll_shape)
+        else:
+            ll_hat = self._decode_fourstep("ll", ll_shape, None, None,
+                                           q_index, qp_scale)
+        subbands_hat[L - 1]["ll"] = ll_hat
+
+        ctx_init = self._jit(
+            "ctx_init", lambda p, like: self.module.apply(
+                p, like, method=PWave.ctx_init))
+        states = ctx_init(self.params, ll_hat)
+
+        step_fns = {}
+
+        def ctx_step(subband, states, up):
+            key = ("ctx_step", up, subband.shape)
+            if key not in step_fns:
+                step_fns[key] = self._jit(
+                    key, lambda p, sb, st, u=up: self.module.apply(
+                        p, sb, st, u, method=PWave.ctx_step))
+            return step_fns[key](self.params, subband, states)
+
+        context, states = ctx_step(ll_hat, states, None)
+
+        for lvl in range(L - 1, -1, -1):
+            sh = new_h // (2 ** (lvl + 1))
+            sw = new_w // (2 ** (lvl + 1))
+            for sidx, band in enumerate(BANDS):
+                ctx = jnp.split(context, 3, axis=1)[sidx]
+                prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
+                s_hat = self._decode_fourstep(
+                    f"{lvl}_{band}", (batch, 1, sh, sw), ctx, prev,
+                    q_index, qp_scale)
+                subbands_hat[lvl][band] = s_hat
+                up = lvl - 1 if (band == "hh" and lvl > 0) else None
+                context, states = ctx_step(s_hat, states, up)
+
+        qp = None if qp_scale is None else jnp.float32(qp_scale)
+        if qp is None:
+            recon = self._jit(
+                ("reconstruct", L),
+                lambda p, sb, q: self.module.apply(
+                    p, sb, q, method=PWave.reconstruct))
+            x_hat = recon(self.params, subbands_hat, jnp.float32(q_index))
+        else:
+            recon = self._jit(
+                ("reconstruct_qp", L),
+                lambda p, sb, q, qs: self.module.apply(
+                    p, sb, q, qs, method=PWave.reconstruct))
+            x_hat = recon(self.params, subbands_hat, jnp.float32(q_index), qp)
+        return {"x_hat": x_hat}

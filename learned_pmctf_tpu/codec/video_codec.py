@@ -1,0 +1,367 @@
+"""Host bitstream codec for the pMCTF video coder.
+
+Orchestrates MV coding (factorized hyper-latent + quad four-part prior)
+and the per-stage L/H band coding through two PWaveCodec instances.
+
+ref: pMCTF/models/video/pMCTF_L.py:398-637 (compress_mv/decompress_mv/
+compress_one_stage/decompress_one_stage/encode_one_stage), restructured
+so each encode is a single device program followed by host rANS, and each
+decode alternates small jitted parameter graphs with 4 rANS round trips.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..entropy.coder import (
+    EntropyCoder,
+    GaussianEncoder,
+    FactorizedCoder,
+    build_bit_estimator_tables,
+    build_indexes_from_scales,
+)
+from ..models.pmctf import PMCTF
+from ..models.pwave import PWave
+from ..models.mv_coder import (
+    four_part_prior_decode_scales,
+    four_part_prior_scatter,
+)
+from ..ops.masks import checkerboard_masks
+from ..utils.stream import (
+    encode_p,
+    decode_p,
+    get_downsampled_shape,
+)
+from .image_codec import PWaveCodec
+
+
+class PMCTFCodec:
+    """Host wrapper for real bitstream encode/decode of pMCTF."""
+
+    def __init__(self, module: PMCTF, params, ec_thread: bool = False,
+                 stream_part: int = 1):
+        self.module = module
+        self.params = params
+        self.coder = EntropyCoder(ec_thread, stream_part)
+        self.em = GaussianEncoder("laplace")
+        self._jits: Dict = {}
+        self._mv_coders: Dict[int, FactorizedCoder] = {}
+
+        pw_kwargs = dict(
+            bitdepth=module.bitdepth, decomp_levels=module.decomp_levels,
+            lossy=module.lossy, ll_mode=module.ll_mode,
+            features=module.features, ar_features=module.ar_features)
+        self.hp_codec = PWaveCodec(
+            PWave(**pw_kwargs), {"params": params["params"]["hp_coder"]},
+            ec_thread, stream_part)
+        self.lp_codec = PWaveCodec(
+            PWave(**pw_kwargs), {"params": params["params"]["lp_coder"]},
+            ec_thread, stream_part)
+
+    def _jit(self, key, fn, **kw):
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn, **kw)
+        return self._jits[key]
+
+    def update(self, force: bool = False):
+        """Build all CDF tables. ref: pMCTF_L.py:441-446."""
+        self.em.update(force=force, entropy_coder=self.coder)
+        self.hp_codec.update(force=force)
+        self.lp_codec.update(force=force)
+        for stage in range(self.module.num_me_stages):
+            if force or stage not in self._mv_coders:
+                def cdf_fn(x, s=stage):
+                    return self.module.apply(
+                        self.params, x, s, method=PMCTF.mv_z_cdf_fn)
+                cdf, cdf_len, off = build_bit_estimator_tables(
+                    cdf_fn, self.module.channel_mv)
+                self._mv_coders[stage] = FactorizedCoder(
+                    cdf, cdf_len, off, self.module.channel_mv, self.coder)
+
+    # ---- motion streams -------------------------------------------------------
+
+    def compress_mv(self, ref_y, cur_y, dpb, stage_idx: int = 0,
+                    q_index: int = 0, me_downsample: int = 1):
+        """ref: pMCTF_L.py:448-495."""
+        stage = self.module.me_index(stage_idx)
+        fn = self._jit(
+            ("mv_compress", stage, me_downsample, dpb["mv_feature"] is None,
+             dpb.get("ref_mv_y") is None),
+            lambda p, r, c, d, q: self.module.apply(
+                p, r, c, d, stage, q, me_downsample,
+                method=PMCTF.mv_compress_planes))
+        out = fn(self.params, ref_y, cur_y, dpb, jnp.float32(q_index))
+
+        self.coder.reset()
+        self._mv_coders[stage].encode(np.asarray(out["mv_z_hat"]))
+        for k in range(4):
+            idx = build_indexes_from_scales(out["scales"][k])
+            self.coder.encode_with_indexes(
+                np.asarray(out["symbols"][k]).reshape(-1),
+                np.asarray(idx).reshape(-1),
+                self.em._cdf, self.em._cdf_length, self.em._offset)
+        self.coder.flush()
+        return {
+            "bit_stream": self.coder.get_encoded_stream(),
+            "mv_hat": out["mv_hat"],
+            "mv_feature": out["mv_feature"],
+            "mv_y_hat": out["mv_y_hat"],
+        }
+
+    def decompress_mv(self, stream: bytes, height: int, width: int, dpb,
+                      stage_idx: int = 0, q_index: int = 0,
+                      me_downsample: int = 1):
+        """ref: pMCTF_L.py:497-523."""
+        stage = self.module.me_index(stage_idx)
+        self.coder.set_stream(stream)
+        zh, zw = get_downsampled_shape(int(height), int(width), 64)
+        mv_z_hat = jnp.asarray(self._mv_coders[stage].decode_stream((zh, zw)))
+
+        prior = self._jit(
+            ("mv_prior", stage, dpb.get("ref_mv_y") is None),
+            lambda p, z, d: self.module.apply(
+                p, z, d, stage, method=PMCTF.mv_prior_params))
+        mv_params = prior(self.params, mv_z_hat, dpb)
+
+        split = self._jit(
+            "mv_split", lambda p, mp: self.module.apply(
+                p, mp, method=PMCTF.mv_decode_split))
+        q_dec, scales_q, means_q = split(self.params, mv_params)
+
+        h, w = mv_params.shape[2], mv_params.shape[3]
+        step_scales = self._jit(
+            "mv_step_scales",
+            lambda sq, k: build_indexes_from_scales(
+                four_part_prior_decode_scales(
+                    sq, checkerboard_masks(h, w), k)),
+            static_argnums=1)
+        scatter = self._jit(
+            "mv_scatter",
+            lambda v, mq, k: four_part_prior_scatter(
+                v, mq, checkerboard_masks(h, w), k),
+            static_argnums=2)
+
+        y_hat_so_far = None
+        for step in range(4):
+            idx = step_scales(tuple(scales_q), step)
+            vals = self.coder.decode_stream(
+                np.asarray(idx), self.em._cdf, self.em._cdf_length,
+                self.em._offset)
+            vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            y_hat_curr = scatter(vals, tuple(means_q), step)
+            y_hat_so_far = y_hat_curr if y_hat_so_far is None \
+                else y_hat_so_far + y_hat_curr
+            if step < 3:
+                spatial = self._jit(
+                    ("mv_spatial", stage, step),
+                    lambda p, yh, mp, s=step: self.module.apply(
+                        p, yh, mp, stage, s, method=PMCTF.mv_decode_spatial))
+                scales_q, means_q = spatial(self.params, y_hat_so_far, mv_params)
+
+        mv_y_hat = y_hat_so_far * q_dec
+        tail = self._jit(
+            ("mv_tail", stage, me_downsample),
+            lambda p, y, q: self.module.apply(
+                p, y, stage, q, me_downsample, method=PMCTF.mv_decode_tail))
+        mv_hat, mv_feature = tail(self.params, mv_y_hat, jnp.float32(q_index))
+        return {"mv_hat": mv_hat, "mv_feature": mv_feature,
+                "mv_y_hat": mv_y_hat}
+
+    # ---- one temporal stage ---------------------------------------------------
+
+    def _forward_mctf(self, ref, cur, mv_hat, stage_idx, halve_mv: bool):
+        key = ("fwd_mctf", stage_idx, halve_mv, ref.shape)
+
+        def fn(p, r, c, mv):
+            if halve_mv:
+                from ..ops.resample import bilinear_downsample
+                mv = bilinear_downsample(mv) / 2.0
+            return self.module.apply(p, r, c, mv, stage_idx,
+                                     method=PMCTF.forward_mctf)
+        return self._jit(key, fn)(self.params, ref, cur, mv_hat)
+
+    def _hp_qp_scale(self, q_index, stage_idx):
+        if not self.module.quant_stage:
+            return None
+        fn = self._jit(
+            ("hp_qp", stage_idx),
+            lambda p, q: self.module.apply(
+                p, q, stage_idx, method=PMCTF.hp_qp_scale))
+        return np.asarray(fn(self.params, jnp.float32(q_index))).item()
+
+    def compress_one_stage(self, ref_frame, cur_frame, code_lt: bool, mv_hat,
+                           ischroma: bool, sideinfo=None, file_name=None,
+                           stage_idx: int = 0, q_index: int = 0):
+        """ref: pMCTF_L.py:398-420."""
+        l_t, h_t, _, _ = self._forward_mctf(
+            ref_frame, cur_frame, mv_hat, stage_idx, halve_mv=ischroma)
+        qp_scale = self._hp_qp_scale(q_index, stage_idx)
+        h_t_hat, _ = self.hp_codec.compress(
+            h_t, q_index, qp_scale=qp_scale, file_name=file_name,
+            sideinfo=sideinfo)
+        l_t_hat = None
+        if code_lt:
+            file_name_l = file_name.replace(
+                osp.basename(file_name), "0_C_main.bin" if ischroma else "0_main.bin")
+            l_t_hat, _ = self.lp_codec.compress(
+                l_t, q_index, file_name=file_name_l, sideinfo=sideinfo)
+        return {"L_t": l_t, "H_t": h_t, "H_t_hat": h_t_hat, "L_t_hat": l_t_hat}
+
+    def decompress_one_stage(self, file_name: str, code_lt: bool,
+                             ischroma: bool, psize: int = 128,
+                             q_index: int = 0, stage_idx: int = 0):
+        """ref: pMCTF_L.py:422-439."""
+        qp_scale = self._hp_qp_scale(q_index, stage_idx)
+        pad = psize // 2 if ischroma else psize
+        h_t = self.hp_codec.decompress(
+            file_name, padding=pad, q_index=q_index, qp_scale=qp_scale)
+        l_t = None
+        if code_lt:
+            file_name_l = file_name.replace(
+                osp.basename(file_name), "0_C_main.bin" if ischroma else "0_main.bin")
+            l_t = self.lp_codec.decompress(
+                file_name_l, padding=pad, q_index=q_index)
+        return {"L_t": l_t, "H_t": h_t}
+
+    def encode_one_stage(self, ref_frame, cur_frame, code_lt: bool, dpb,
+                         output_path: str, pic_width: int, pic_height: int,
+                         psize: int = 128, skip_decoding: bool = False,
+                         stage_idx: int = 0, q_index: int = 0,
+                         me_downsample: int = 1):
+        """Full stage encode (+ optional decode check). ref: pMCTF_L.py:525-637."""
+        ref_y, ref_chroma = ref_frame
+        cur_y, cur_chroma = cur_frame
+
+        start = time.time()
+        mv_out = output_path.replace(".bin", "_mv.bin")
+        out_enc = self.compress_mv(ref_y, cur_y, dpb, stage_idx, q_index,
+                                   me_downsample)
+        encode_p(out_enc["bit_stream"], 0, mv_out)
+        mv_hat = out_enc["mv_hat"]
+        mv_feature = out_enc["mv_feature"]
+        mv_y_hat = out_enc["mv_y_hat"]
+
+        out_l = self.compress_one_stage(
+            ref_y, cur_y, code_lt, mv_hat, ischroma=False,
+            sideinfo=[1, 1, pic_height, pic_width], file_name=output_path,
+            stage_idx=stage_idx, q_index=q_index)
+
+        bits_h = os.path.getsize(output_path) * 8.0
+        bits_me = os.path.getsize(mv_out) * 8.0
+        bits_l = os.path.getsize(output_path.replace(
+            osp.basename(output_path), "0_main.bin")) * 8.0 if code_lt else None
+
+        file_name_c = output_path.replace(".bin", "_C_main.bin")
+        out_c = self.compress_one_stage(
+            ref_chroma, cur_chroma, code_lt, mv_hat, ischroma=True,
+            sideinfo=[1, 2, pic_height // 2, pic_width // 2],
+            file_name=file_name_c, stage_idx=stage_idx, q_index=q_index)
+        encoding_time = time.time() - start
+
+        bits_h_c = os.path.getsize(file_name_c) * 8.0
+        bits_l_c = os.path.getsize(output_path.replace(
+            osp.basename(output_path), "0_C_main.bin")) * 8.0 if code_lt else None
+
+        if not skip_decoding:
+            start = time.time()
+            _, string = decode_p(mv_out)
+            decoded = self.decompress_mv(
+                string, ref_y.shape[2], ref_y.shape[3], dpb,
+                stage_idx=stage_idx, q_index=q_index,
+                me_downsample=me_downsample)
+            mv_hat = decoded["mv_hat"]
+            mv_feature = decoded["mv_feature"]
+            out_dec = self.decompress_one_stage(
+                output_path, code_lt, ischroma=False, psize=psize,
+                q_index=q_index, stage_idx=stage_idx)
+            out_dec_c = self.decompress_one_stage(
+                file_name_c, code_lt, ischroma=True, psize=psize,
+                q_index=q_index, stage_idx=stage_idx)
+            decoding_time = time.time() - start
+            l_t_rec = out_dec["L_t"]["x_hat"] if code_lt else out_l["L_t"]
+            h_t_rec = out_dec["H_t"]["x_hat"]
+            l_tc_rec = out_dec_c["L_t"]["x_hat"] if code_lt else out_c["L_t"]
+            h_tc_rec = out_dec_c["H_t"]["x_hat"]
+        else:
+            decoding_time = 0.0
+            l_t_rec = out_l["L_t_hat"] if code_lt else out_l["L_t"]
+            h_t_rec = out_l["H_t_hat"]
+            l_tc_rec = out_c["L_t_hat"] if code_lt else out_c["L_t"]
+            h_tc_rec = out_c["H_t_hat"]
+
+        return {
+            "L_t": l_t_rec,
+            "H_t": h_t_rec,
+            "L_tc": l_tc_rec,
+            "H_tc": h_tc_rec,
+            "bit_H": bits_h + bits_h_c,
+            "bit_L": (bits_l + bits_l_c) if code_lt else None,
+            "bit_Lc": bits_l_c,
+            "bit_Hc": bits_h_c,
+            "bit_ME": bits_me,
+            "mv_hat": mv_hat,
+            "dpb": {"mv_feature": mv_feature, "ref_mv_y": mv_y_hat},
+            "decoding_time": decoding_time,
+            "encoding_time": encoding_time,
+        }
+
+    def estimate_one_stage(self, ref_frame, cur_frame, code_lt: bool, dpb,
+                           stage_idx: int = 0, q_index: int = 0,
+                           me_downsample: int = 1):
+        """Entropy-estimated stage coding (no bitstream), same output dict
+        shape as encode_one_stage. ref: pMCTF_L.py:531-552."""
+        ref_y, ref_chroma = ref_frame
+        cur_y, cur_chroma = cur_frame
+
+        luma = self._jit(
+            ("est_luma", stage_idx, code_lt, me_downsample, ref_y.shape,
+             dpb["mv_feature"] is None, dpb.get("ref_mv_y") is None),
+            lambda p, r, c, d, q: self.module.apply(
+                p, r, c, q, code_lt, d, stage_idx=stage_idx,
+                me_downsample=me_downsample, training=False))
+        result = luma(self.params, ref_y, cur_y, dpb, jnp.float32(q_index))
+
+        chroma = self._jit(
+            ("est_chroma", stage_idx, code_lt, ref_chroma.shape),
+            lambda p, r, c, mv, q: self.module.apply(
+                p, r, c, q, code_lt,
+                {"mv_feature": None, "ref_mv_y": None}, mv_hat=mv,
+                stage_idx=stage_idx, training=False))
+        result_c = chroma(self.params, ref_chroma, cur_chroma,
+                          result["mv_hat"], jnp.float32(q_index))
+
+        def val(x):
+            return float(x) if x is not None else None
+
+        return {
+            "L_t": result["L_t"],
+            "H_t": result["H_t"],
+            "L_tc": result_c["L_t"],
+            "H_tc": result_c["H_t"],
+            "bit_L": val(result.get("bit_L", 0)) + val(result_c.get("bit_L", 0))
+                     if code_lt else None,
+            "bit_H": val(result["bit_H"]) + val(result_c["bit_H"]),
+            "bit_Lc": val(result_c.get("bit_L")) if code_lt else None,
+            "bit_Hc": val(result_c["bit_H"]),
+            "bit_ME": val(result["bit_ME"]),
+            "mv_hat": result["mv_hat"],
+            "dpb": result["dpb"],
+            "decoding_time": 0.0,
+            "encoding_time": 0.0,
+        }
+
+    def inverse_mctf(self, l_t, h_t, mv_hat, stage_idx: int = 0,
+                     downscale: bool = False):
+        fn = self._jit(
+            ("inv_mctf", stage_idx, downscale, l_t.shape),
+            lambda p, l, h, mv: self.module.apply(
+                p, l, h, mv, stage_idx, downscale,
+                method=PMCTF.inverse_mctf))
+        return fn(self.params, l_t, h_t, mv_hat)

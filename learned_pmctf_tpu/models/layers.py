@@ -1,0 +1,294 @@
+"""Neural layer library (flax.linen, NCHW layout).
+
+TPU-native equivalents of the reference's conv primitives and blocks:
+ref: pMCTF/layers/layers.py (MaskedConv2d), pMCTF/layers/convs.py
+(get_conv2d fixed-init lifting skips), pMCTF/layers/lifting_1d.py:25-49
+(PredictUpdate), pMCTF/layers/video/layers.py (DepthConv/ConvFFN/
+residual blocks / subpel convs), pMCTF/layers/postprocessing.py (ResBlock).
+
+All convs run through one lax.conv_general_dilated wrapper with
+('NCHW','OIHW','NCHW') dimension numbers; XLA picks TPU-friendly layouts
+and fuses the elementwise tails. Weight init is truncated normal
+(std 0.02), bias zero — matching the reference's _init_weights
+(ref: pMCTF/models/pWave.py:89-97).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.masks import causal_conv_mask
+
+_default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def conv2d_nchw(x, w, stride=1, padding="SAME", groups=1):
+    """Plain NCHW conv with OIHW weights."""
+    s = _pair(stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=s, padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+
+
+class Conv2d(nn.Module):
+    """2-D convolution on NCHW with optional fixed weight initialization."""
+
+    in_ch: int
+    out_ch: int
+    kernel: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: Union[str, int, None] = None  # None -> (k-1)//2 "same"
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    # fixed initial weights (e.g. wavelet lifting taps), shape (O, I/g, kh, kw)
+    init_weights: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel)
+        shape = (self.out_ch, self.in_ch // self.groups, kh, kw)
+        if self.init_weights is not None:
+            iw = jnp.asarray(self.init_weights, jnp.float32).reshape(shape)
+            kinit = lambda key, s, dtype=jnp.float32: iw.astype(dtype)
+        else:
+            kinit = self.kernel_init or _default_kernel_init
+        w = self.param("kernel", kinit, shape)
+        pad = self.padding
+        if pad is None:
+            pad = ((kh - 1) // 2, (kw - 1) // 2)
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        elif isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = conv2d_nchw(x, w, self.stride, pad, self.groups)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            y = y + b.reshape(1, -1, 1, 1)
+        return y
+
+
+class MaskedConv2d(nn.Module):
+    """PixelCNN-masked conv (types A/B/C). ref: pMCTF/layers/layers.py:23-51.
+
+    The causal mask is applied to the kernel at call time so gradients see
+    the same masked weights.
+    """
+
+    in_ch: int
+    out_ch: int
+    kernel: int = 3
+    mask_type: str = "A"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel)
+        w = self.param(
+            "kernel", _default_kernel_init,
+            (self.out_ch, self.in_ch, kh, kw),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        mask = causal_conv_mask(kh, kw, self.mask_type, self.out_ch, self.in_ch)
+        y = conv2d_nchw(x, w * mask, 1, (kh - 1) // 2)
+        return y + b.reshape(1, -1, 1, 1)
+
+
+class PredictUpdate(nn.Module):
+    """Small residual CNN used as learned P/U lifting filters.
+
+    ref: pMCTF/layers/lifting_1d.py:25-49 — conv3x3 chain with tanh,
+    inner residual connection from conv1, 16 hidden channels.
+    """
+
+    in_ch: int = 1
+    hidden: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        c1 = Conv2d(self.in_ch, self.hidden, 3, name="conv1")(x)
+        x = jnp.tanh(c1)
+        x = Conv2d(self.hidden, self.hidden, 3, name="conv2")(x)
+        x = jnp.tanh(x)
+        x = Conv2d(self.hidden, self.hidden, 3, name="conv3")(x)
+        x = c1 + x
+        return Conv2d(self.hidden, self.in_ch, 3, name="conv4")(x)
+
+
+class ResBlock(nn.Module):
+    """Residual block with LeakyReLU(0.2). ref: pMCTF/layers/postprocessing.py:6-17."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv2d(self.channels, self.channels, 3, name="conv1")(x)
+        y = nn.leaky_relu(y, negative_slope=0.2)
+        y = Conv2d(self.channels, self.channels, 3, name="conv2")(y)
+        return x + y
+
+
+# Same block shape is used for context branches in the fusion models
+# (ref: pMCTF/layers/context_fusion.py:42-53).
+ContextResidual = ResBlock
+
+
+def pixel_shuffle(x, r: int):
+    """Depth-to-space, torch PixelShuffle semantics (NCHW).
+
+    out[b, c, h*r+i, w*r+j] = in[b, c*r*r + i*r + j, h, w]
+    """
+    b, c, h, w = x.shape
+    oc = c // (r * r)
+    x = x.reshape(b, oc, r, r, h, w)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, oc, h * r, w * r)
+
+
+class SubpelConv(nn.Module):
+    """1x1 (or 3x3) conv + pixel shuffle upsampler.
+
+    ref: pMCTF/layers/video/layers.py:27-38.
+    """
+
+    in_ch: int
+    out_ch: int
+    r: int = 2
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv2d(self.in_ch, self.out_ch * self.r ** 2, self.kernel)(x)
+        return pixel_shuffle(y, self.r)
+
+
+class ResidualBlockWithStride(nn.Module):
+    """ref: pMCTF/layers/video/layers.py:46-77."""
+
+    in_ch: int
+    out_ch: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv2d(self.in_ch, self.out_ch, 3, stride=self.stride, name="conv1")(x)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = Conv2d(self.out_ch, self.out_ch, 3, name="conv2")(y)
+        y = nn.leaky_relu(y, negative_slope=0.1)
+        if self.stride != 1:
+            identity = Conv2d(self.in_ch, self.out_ch, 1, stride=self.stride,
+                              name="downsample")(x)
+        else:
+            identity = x
+        return y + identity
+
+
+class ResidualBlockUpsample(nn.Module):
+    """ref: pMCTF/layers/video/layers.py:80-105."""
+
+    in_ch: int
+    out_ch: int
+    upsample: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        y = SubpelConv(self.in_ch, self.out_ch, self.upsample, name="subpel")(x)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = Conv2d(self.out_ch, self.out_ch, 3, name="conv")(y)
+        y = nn.leaky_relu(y, negative_slope=0.1)
+        identity = SubpelConv(self.in_ch, self.out_ch, self.upsample, name="upsample")(x)
+        return y + identity
+
+
+class DepthConv(nn.Module):
+    """1x1 -> depthwise 3x3 -> 1x1 with residual. ref: video/layers.py:108-136."""
+
+    in_ch: int
+    out_ch: int
+    depth_kernel: int = 3
+    stride: int = 1
+    slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        if self.stride != 1:
+            identity = Conv2d(self.in_ch, self.out_ch, 2, stride=2, padding=0,
+                              name="adaptor")(x)
+        elif self.in_ch != self.out_ch:
+            identity = Conv2d(self.in_ch, self.out_ch, 1, name="adaptor")(x)
+        y = Conv2d(self.in_ch, self.in_ch, 1, stride=self.stride, name="conv1")(x)
+        y = nn.leaky_relu(y, negative_slope=self.slope)
+        y = Conv2d(self.in_ch, self.in_ch, self.depth_kernel, groups=self.in_ch,
+                   name="depth_conv")(y)
+        y = Conv2d(self.in_ch, self.out_ch, 1, name="conv2")(y)
+        return y + identity
+
+
+class ConvFFN(nn.Module):
+    """Pointwise FFN with residual. ref: video/layers.py:139-152."""
+
+    in_ch: int
+    slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        internal = max(min(self.in_ch * 4, 1024), self.in_ch * 2)
+        y = Conv2d(self.in_ch, internal, 1, name="up")(x)
+        y = nn.leaky_relu(y, negative_slope=self.slope)
+        y = Conv2d(internal, self.in_ch, 1, name="down")(y)
+        y = nn.leaky_relu(y, negative_slope=self.slope)
+        return x + y
+
+
+class ConvFFN3(nn.Module):
+    """Gated two-branch FFN. ref: video/layers.py:154-168."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        internal = self.in_ch * 2
+        y = Conv2d(self.in_ch, internal * 2, 1, name="conv")(x)
+        x1, x2 = jnp.split(y, 2, axis=1)
+        y = nn.leaky_relu(x1, negative_slope=0.1) + nn.leaky_relu(x2, negative_slope=0.01)
+        return x + Conv2d(internal, self.in_ch, 1, name="conv_out")(y)
+
+
+class DepthConvBlock(nn.Module):
+    """DepthConv + ConvFFN. ref: video/layers.py:171-181."""
+
+    in_ch: int
+    out_ch: int
+    depth_kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = DepthConv(self.in_ch, self.out_ch, self.depth_kernel, self.stride,
+                      name="depth")(x)
+        return ConvFFN(self.out_ch, name="ffn")(x)
+
+
+class DepthConvBlock4(nn.Module):
+    """DepthConv + ConvFFN3. ref: video/layers.py:184-193."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = DepthConv(self.in_ch, self.out_ch, name="depth")(x)
+        return ConvFFN3(self.out_ch, name="ffn")(x)

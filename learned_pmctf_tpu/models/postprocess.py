@@ -1,0 +1,48 @@
+"""Post-processing / dequantization enhancement nets.
+
+ref: pMCTF/layers/postprocessing.py:20-71.
+"""
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv2d, ResBlock
+
+
+class PostProcess(nn.Module):
+    """iWave++-style dequant net: 6 res blocks @ 64ch + global skip."""
+
+    in_ch: int = 1
+    out_ch: int = 1
+    channels: int = 64
+    num_res: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        t = Conv2d(self.in_ch, self.channels, 3, name="conv1")(x)
+        conv1 = t
+        for i in range(self.num_res):
+            t = ResBlock(self.channels, name=f"res{i}")(t)
+        t = Conv2d(self.channels, self.channels, 3, name="conv2")(t) + conv1
+        t = Conv2d(self.channels, self.out_ch, 3, name="conv3")(t)
+        return x + t
+
+
+class PostProcessCtx(nn.Module):
+    """Contextual variant conditioning on a feature map (recon generation)."""
+
+    in_ch: int = 1
+    out_ch: int = 1
+    channels: int = 64
+    ctx_ch: int = 64
+
+    @nn.compact
+    def __call__(self, x, ctx):
+        t = Conv2d(self.in_ch + self.ctx_ch, self.channels, 3, name="conv1")(
+            jnp.concatenate([ctx, x], axis=1))
+        conv1 = t
+        for i in range(6):
+            t = ResBlock(self.channels, name=f"res{i}")(t)
+        feature = Conv2d(self.channels, self.channels, 3, name="conv2")(t) + conv1
+        t = Conv2d(self.channels, self.out_ch, 3, name="conv3")(feature)
+        return feature, x + t

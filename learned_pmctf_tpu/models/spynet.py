@@ -1,0 +1,55 @@
+"""SpyNet coarse-to-fine optical flow estimator.
+
+ref: pMCTF/layers/video/video_net.py:74-121. Six pyramid levels; at each
+level a 5-conv 7x7 CNN predicts a residual flow on top of the 2x-upsampled
+coarser flow applied to the warped reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.resample import avg_pool2, bilinear_upsample
+from ..ops.warp import flow_warp
+from .layers import Conv2d
+
+
+class MEBasic(nn.Module):
+    """One pyramid-level flow refiner: 8 -> 32 -> 64 -> 32 -> 16 -> 2."""
+
+    in_ch: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv2d(self.in_ch, 32, 7, name="conv1")(x))
+        x = nn.relu(Conv2d(32, 64, 7, name="conv2")(x))
+        x = nn.relu(Conv2d(64, 32, 7, name="conv3")(x))
+        x = nn.relu(Conv2d(32, 16, 7, name="conv4")(x))
+        return Conv2d(16, 2, 7, name="conv5")(x)
+
+
+class MESpynet(nn.Module):
+    """Pyramid flow estimation between im1 (current) and im2 (reference)."""
+
+    levels: int = 6
+
+    def setup(self):
+        self.basic = [MEBasic() for _ in range(self.levels)]
+
+    def __call__(self, im1, im2):
+        im1_list = [im1]
+        im2_list = [im2]
+        for _ in range(self.levels - 1):
+            im1_list.append(avg_pool2(im1_list[-1]))
+            im2_list.append(avg_pool2(im2_list[-1]))
+
+        b, _, h_c, w_c = im1_list[-1].shape
+        flow = jnp.zeros((b, 2, h_c // 2, w_c // 2), im1.dtype)
+        for level in range(self.levels):
+            flow_up = bilinear_upsample(flow) * 2.0
+            idx = self.levels - 1 - level
+            inp = jnp.concatenate(
+                [im1_list[idx], flow_warp(im2_list[idx], flow_up), flow_up], axis=1)
+            flow = flow_up + self.basic[level](inp)
+        return flow

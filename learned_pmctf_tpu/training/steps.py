@@ -1,0 +1,180 @@
+"""Jittable training steps for pWave (image) and pMCTF (video).
+
+The pMCTF GOP step reproduces the reference's hierarchical schedule
+(ref: train_pMCTF_L.py:161-251): forward MCTF analysis over
+log2(num_frames) temporal stages, inverse synthesis, then a per-frame
+rate-distortion loss with stage-gated terms. The whole GOP graph is
+differentiated end-to-end; each pair-coding is wrapped in jax.checkpoint
+(rematerialization) so GOP-16 fits in HBM — the TPU answer to the
+reference's "memory scales with GOP size" problem (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class StageGates(NamedTuple):
+    """Loss-term gating per curriculum stage. ref: train_pMCTF_L.py:110-118."""
+
+    d_me: float = 0.0      # motion-estimation distortion (stages < 2)
+    d_rec: float = 1.0     # reconstruction distortion (stages >= 2)
+    r_mv: float = 1.0      # MV rate (stages >= 1)
+    r_latent: float = 1.0  # latent rate (stages >= 2)
+
+    @staticmethod
+    def for_stage(stage_num: int) -> "StageGates":
+        return StageGates(
+            d_me=1.0 if stage_num < 2 else 0.0,
+            d_rec=1.0 if stage_num >= 2 else 0.0,
+            r_mv=1.0 if stage_num >= 1 else 0.0,
+            r_latent=1.0 if stage_num >= 2 else 0.0,
+        )
+
+
+def make_pwave_train_step(module, tx):
+    """Variable-rate image training step. ref: train_pWave.py:38-113."""
+
+    def loss_fn(params, x, q_index, lmbda):
+        out = module.apply(params, x, q_index)
+        n, _, h, w = x.shape
+        bpp = jnp.sum(out["bits"]) / (n * h * w)
+        mse = out["mse"]
+        loss = lmbda * mse + bpp
+        return loss, {"loss": loss, "mse": mse, "bpp": bpp}
+
+    @jax.jit
+    def step(params, opt_state, x, q_index, lmbda):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x, q_index, lmbda)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def pmctf_gop_loss(module, params, frames, q_index, lmbda,
+                   gates: StageGates, me_base: int = 0, rng=None,
+                   remat: bool = True):
+    """End-to-end GOP rate-distortion loss.
+
+    frames: list of (B,1,H,W) arrays, length a power of two.
+    Returns (loss, metrics). ref: train_pMCTF_L.py:147-246.
+    """
+    num_frames = len(frames)
+    num_stages = max(1, int(math.log2(num_frames)))
+    assert 2 ** num_stages == num_frames, num_frames
+
+    def code_pair(params, ref, cur, dpb, code_lt, stage_idx, key):
+        rngs = {"noise": key} if key is not None else {}
+        return module.apply(params, ref, cur, q_index, code_lt, dpb,
+                            stage_idx=stage_idx, rngs=rngs, training=True)
+
+    if remat:
+        code_pair = jax.checkpoint(code_pair, static_argnums=(4, 5))
+
+    frames_coded = list(frames)
+    mvs = [None] * num_frames
+    results = [None] * num_frames
+
+    key_idx = 0
+    num_pairs = num_frames // 2
+    for stage_idx in range(num_stages):
+        dpb = {"mv_feature": None, "ref_mv_y": None}
+        for group_idx in range(num_pairs):
+            group_step = 2 ** stage_idx
+            fidx = group_idx * 2 * group_step
+            code_lt = (stage_idx + 1) == num_stages
+            key = None
+            if rng is not None:
+                key = jax.random.fold_in(rng, key_idx)
+                key_idx += 1
+            result = code_pair(params, frames_coded[fidx],
+                               frames_coded[fidx + group_step], dpb, code_lt,
+                               me_base + stage_idx, key)
+            dpb = result["dpb"]
+            frames_coded[fidx] = result["L_t"]
+            frames_coded[fidx + group_step] = result["H_t"]
+            mvs[fidx + group_step] = result["mv_hat"]
+            results[fidx + group_step] = {
+                "bpp_H": result["bpp_H"], "bpp_me": result["bpp_me"],
+                "me_mse": result["me_mse"], "bpp": result["bpp"],
+            }
+            if code_lt:
+                results[fidx] = {"bpp_L": result["bpp_L"],
+                                 "me_mse_inv": result["me_mse_inv"]}
+        num_pairs //= 2
+
+    # SYNTHESIS: inverse temporal lifting, fine-to-coarse reversed
+    def inv_pair(params, l_t, h_t, mv, stage_idx):
+        return module.apply(params, l_t, h_t, mv, stage_idx,
+                            method=type(module).inverse_mctf)
+
+    if remat:
+        inv_pair = jax.checkpoint(inv_pair, static_argnums=(4,))
+
+    num_pairs = 1
+    for stage_idx in reversed(range(num_stages)):
+        for group_idx in reversed(range(num_pairs)):
+            group_step = 2 ** stage_idx
+            fidx = group_idx * 2 * group_step
+            ref, cur = inv_pair(params, frames_coded[fidx],
+                                frames_coded[fidx + group_step],
+                                mvs[fidx + group_step], me_base + stage_idx)
+            frames_coded[fidx] = ref
+            frames_coded[fidx + group_step] = cur
+        num_pairs *= 2
+
+    # PER-FRAME RD LOSS (stage-gated)
+    rd_loss = 0.0
+    log = {"bpp_L": 0.0, "bpp_H": 0.0, "bpp_mv": 0.0, "mse": 0.0,
+           "me_mse": 0.0}
+    for fidx in range(num_frames):
+        d_latent = jnp.mean((frames_coded[fidx] - frames[fidx]) ** 2)
+        rb = results[fidx]
+        if fidx == 0:
+            rate_latent = rb["bpp_L"]
+            rate_mv = 0.0
+            d_me = 0.0
+            log["bpp_L"] += rb["bpp_L"]
+        else:
+            rate_latent = rb["bpp_H"]
+            rate_mv = rb["bpp_me"]
+            d_me = rb["me_mse"]
+            log["bpp_H"] += rb["bpp_H"] / (num_frames - 1)
+            log["bpp_mv"] += rb["bpp_me"] / (num_frames - 1)
+            log["me_mse"] += rb["me_mse"] / (num_frames - 1)
+        log["mse"] += d_latent / num_frames
+        rate = gates.r_latent * rate_latent + gates.r_mv * rate_mv
+        dist = gates.d_rec * d_latent + gates.d_me * d_me
+        rd_loss = rd_loss + lmbda * dist + rate
+
+    log["rd_loss"] = rd_loss
+    return rd_loss, log
+
+
+def make_pmctf_train_step(module, tx, num_frames: int,
+                          gates: StageGates, me_base: int = 0,
+                          remat: bool = True):
+    """Jitted end-to-end GOP training step. ref: train_pMCTF_L.py:136-251."""
+
+    def loss_fn(params, frames, q_index, lmbda, rng):
+        frame_list = [frames[i] for i in range(num_frames)]
+        return pmctf_gop_loss(module, params, frame_list, q_index, lmbda,
+                              gates, me_base, rng, remat)
+
+    @jax.jit
+    def step(params, opt_state, frames, q_index, lmbda, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, frames, q_index, lmbda, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step

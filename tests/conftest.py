@@ -1,6 +1,11 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Must set XLA flags before jax is imported anywhere.
+Tries to force an 8-virtual-device CPU platform. NOTE: in the axon TPU
+container, sitecustomize registers the axon backend at interpreter
+startup (PALLAS_AXON_POOL_IPS set) and pins the platform before conftest
+runs; in that case tests execute on the real TPU chip instead — which is
+fine for correctness tests. Multi-chip sharding tests always spawn a
+subprocess with a sanitized environment (see test_parallel.py).
 """
 
 import os
@@ -15,3 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+SANITIZED_CPU_ENV = {
+    **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+}
