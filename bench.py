@@ -28,6 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from learned_pmctf_tpu.models import PMCTF
+    from learned_pmctf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep")
     g = np.random.default_rng(0)

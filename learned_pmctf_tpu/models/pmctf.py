@@ -50,6 +50,7 @@ class PMCTF(nn.Module):
     channel_n: int = 64
     features: int = 112      # pWave four-step fusion width
     ar_features: int = 128   # pWave LL model width
+    spynet_levels: int = 6
 
     def setup(self):
         self.dynamic_range = float(2 ** self.bitdepth - 1)  # 255 (ref: pMCTF_L.py:46)
@@ -63,7 +64,7 @@ class PMCTF(nn.Module):
                               ll_mode=self.ll_mode, features=self.features,
                               ar_features=self.ar_features)
 
-        self.optic_flow = MESpynet(levels=6)
+        self.optic_flow = MESpynet(levels=self.spynet_levels)
 
         self.mv_encoder = [MvEnc(2, c_mv) for _ in range(n_stages)]
         self.mv_decoder = [MvDec(2, c_mv) for _ in range(n_stages)]
