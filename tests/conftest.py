@@ -21,6 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the model fixtures compile large graphs;
+# caching makes suite re-runs start hot.
+from learned_pmctf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 SANITIZED_CPU_ENV = {
     **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
     "JAX_PLATFORMS": "cpu",
