@@ -7,6 +7,10 @@ with reused halved MVs + full temporal decode), padded-1080p planes
 (the bitstream path's symbol planes come from the same graphs; host rANS
 runs concurrently in production).
 
+Timing methodology: through the axon relay, jax.block_until_ready is
+enqueue-only, so each timed run ends with a host scalar readback of a
+control value that depends on every output — a true device barrier.
+
 Baseline note: the reference repo publishes no fps numbers (BASELINE.md).
 The driver's north star is >=5x the reference's A100 fps per v5e chip.
 We take 0.4 fps as the assumed reference A100 GOP-16 1080p throughput
@@ -81,6 +85,9 @@ def main():
             lambda p, l, hh, mv, s=st: inv_fn(p, l, hh, mv, s, True))
 
     def code_gop():
+        """One full GOP encode+decode; returns a control scalar whose host
+        readback forces TRUE device synchronization (block_until_ready is
+        enqueue-only through the axon tunnel)."""
         fl = list(luma)
         fc = list(chroma)
         mvs = [None] * gop
@@ -112,17 +119,16 @@ def main():
                 fc[fi], fc[fi + step] = jit_inv[(st, True)](
                     params, fc[fi], fc[fi + step], mvs[fi + step])
             pairs *= 2
-        return fl, fc
+        control = sum(jnp.sum(f) for f in fl) + sum(jnp.sum(f) for f in fc)
+        return control
 
-    # warmup (compiles every (stage, code_lt) variant)
-    fl, fc = code_gop()
-    jax.block_until_ready((fl, fc))
+    # warmup (compiles every (stage, code_lt) variant) + true sync
+    _ = float(code_gop())
 
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
-        fl, fc = code_gop()
-        jax.block_until_ready((fl, fc))
+        _ = float(code_gop())  # host scalar readback = real barrier
     dt = (time.perf_counter() - t0) / runs
 
     fps = gop / dt

@@ -116,14 +116,78 @@ def warp_v3_map_coordinates(feature, flow):
         feature, flow)
 
 
-def bench(fn, feature, flow, name, runs=20):
+def warp_v4_promise(feature, flow):
+    """take_along_axis with promise_in_bounds (indices are pre-clipped)."""
+    b, c, h, w = feature.shape
+    f32 = jnp.float32
+    col = jnp.arange(w, dtype=f32)[None, None, :]
+    row = jnp.arange(h, dtype=f32)[None, :, None]
+    px = jnp.clip(col + flow[:, 0], 0.0, w - 1.0)
+    py = jnp.clip(row + flow[:, 1], 0.0, h - 1.0)
+    x0 = jnp.floor(px); y0 = jnp.floor(py)
+    wx = (px - x0)[:, None]; wy = (py - y0)[:, None]
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1); y1i = jnp.minimum(y0i + 1, h - 1)
+    flat = feature.reshape(b, c, h * w)
+
+    def g(yi, xi):
+        idx = (yi * w + xi).reshape(b, 1, h * w)
+        idx = jnp.broadcast_to(idx, (b, c, h * w))
+        return jnp.take_along_axis(
+            flat, idx, axis=2, mode="promise_in_bounds").reshape(b, c, h, w)
+
+    v00 = g(y0i, x0i); v01 = g(y0i, x1i)
+    v10 = g(y1i, x0i); v11 = g(y1i, x1i)
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def warp_v5_two_gathers(feature, flow):
+    """2 gathers instead of 4: fetch (x0, x0+1) pairs as complex-like
+    packing — gather y-rows once per (y0,y1) with horizontal pair reads
+    via roll. Horizontal neighbor = same gather with idx+1; instead read
+    x0 and exploit x1 = x0+1 by gathering from a pre-shifted copy."""
+    b, c, h, w = feature.shape
+    f32 = jnp.float32
+    col = jnp.arange(w, dtype=f32)[None, None, :]
+    row = jnp.arange(h, dtype=f32)[None, :, None]
+    px = jnp.clip(col + flow[:, 0], 0.0, w - 1.0)
+    py = jnp.clip(row + flow[:, 1], 0.0, h - 1.0)
+    x0 = jnp.floor(px); y0 = jnp.floor(py)
+    wx = (px - x0)[:, None]; wy = (py - y0)[:, None]
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    # horizontally pre-interpolate is impossible (wx varies); instead pack
+    # feature and its x+1 shift as 2 channels and gather once per row pair
+    shifted = jnp.concatenate([feature[:, :, :, 1:], feature[:, :, :, -1:]],
+                              axis=3)
+    packed = jnp.concatenate([feature, shifted], axis=1)  # (B, 2C, H, W)
+    flat = packed.reshape(b, 2 * c, h * w)
+
+    def g(yi):
+        idx = (yi * w + x0i).reshape(b, 1, h * w)
+        idx = jnp.broadcast_to(idx, (b, 2 * c, h * w))
+        out = jnp.take_along_axis(
+            flat, idx, axis=2, mode="promise_in_bounds").reshape(b, 2 * c, h, w)
+        return out[:, :c], out[:, c:]
+
+    v00, v01 = g(y0i)
+    v10, v11 = g(y1i)
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def bench(fn, feature, flow, name, runs=10):
     f = jax.jit(fn)
     out = f(feature, flow)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))  # true sync (block_until_ready is enqueue-only)
     t0 = time.perf_counter()
     for _ in range(runs):
         out = f(feature, flow)
-    jax.block_until_ready(out)
+        _ = float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / runs * 1000
     print(f"{name:32s} {dt:8.2f} ms")
     return out, dt
@@ -138,8 +202,9 @@ def main():
 
     ref, _ = bench(warp_v0, feature, flow, "v0 take_along_axis(BC,HW)")
     for fn, name in ((warp_v1_flat, "v1 flat global take"),
-                     (warp_v2_rows_then_cols, "v2 rows-then-cols"),
-                     (warp_v3_map_coordinates, "v3 map_coordinates")):
+                     (warp_v3_map_coordinates, "v3 map_coordinates"),
+                     (warp_v4_promise, "v4 promise_in_bounds"),
+                     (warp_v5_two_gathers, "v5 packed two-gather")):
         try:
             out, _ = bench(fn, feature, flow, name)
             err = float(jnp.max(jnp.abs(out - ref)))

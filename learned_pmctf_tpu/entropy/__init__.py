@@ -8,6 +8,7 @@ from .distributions import (  # noqa: F401
     gaussian_bits,
 )
 from .bit_estimator import BitEstimator  # noqa: F401
+from .compression_model import CompressionModel  # noqa: F401
 from .coder import (  # noqa: F401
     EntropyCoder,
     GaussianEncoder,

@@ -25,6 +25,34 @@ from ..ops.masks import causal_conv_mask
 
 _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 
+# ---------------------------------------------------------------------------
+# Conv compute precision policy.
+#
+# When set to jnp.bfloat16, every Conv2d casts inputs+kernels to bf16 and
+# accumulates in f32 on the MXU (params stay f32). The flag is read at
+# TRACE time, so encoder and decoder traced under the same policy produce
+# bitwise-identical parameter planes (the determinism requirement of
+# SURVEY.md §7.3). Default None = full f32.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_CONV_COMPUTE_DTYPE = [None]
+
+
+@contextlib.contextmanager
+def conv_compute_dtype(dtype):
+    """Context manager: trace conv-heavy graphs at the given MXU dtype."""
+    _CONV_COMPUTE_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _CONV_COMPUTE_DTYPE.pop()
+
+
+def current_conv_dtype():
+    return _CONV_COMPUTE_DTYPE[-1]
+
 
 def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):
@@ -33,15 +61,22 @@ def _pair(v) -> Tuple[int, int]:
 
 
 def conv2d_nchw(x, w, stride=1, padding="SAME", groups=1):
-    """Plain NCHW conv with OIHW weights."""
+    """Plain NCHW conv with OIHW weights (honors the compute-dtype policy)."""
     s = _pair(stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    return jax.lax.conv_general_dilated(
+    cdt = current_conv_dtype()
+    out_dtype = x.dtype
+    if cdt is not None:
+        x = x.astype(cdt)
+        w = w.astype(cdt)
+    y = jax.lax.conv_general_dilated(
         x, w, window_strides=s, padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
+        preferred_element_type=jnp.float32 if cdt is not None else None,
     )
+    return y.astype(out_dtype) if cdt is not None else y
 
 
 class Conv2d(nn.Module):

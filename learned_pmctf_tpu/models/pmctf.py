@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resample import bilinear_downsample, bilinear_upsample
-from ..ops.warp import flow_warp
+from ..ops.warp import flow_warp, flow_warp_fast
 from ..ops.quant import ste_round
 from ..entropy.distributions import laplace_bits
 from ..entropy.bit_estimator import BitEstimator
@@ -51,6 +51,13 @@ class PMCTF(nn.Module):
     features: int = 112      # pWave four-step fusion width
     ar_features: int = 128   # pWave LL model width
     spynet_levels: int = 6
+    spynet_luma: bool = True  # 1-channel ME (3x fewer warp gathers)
+    # warp used for the CODED temporal lifting: 'exact' (bilinear gather,
+    # reference semantics) or 'fast' (gather-free separable warp — ~25x
+    # cheaper on TPU; deterministic/self-consistent, approximate only for
+    # horizontally rough motion fields). Both sides of the codec use the
+    # same mode, so streams stay decodable either way.
+    warp_mode: str = "exact"
 
     def setup(self):
         self.dynamic_range = float(2 ** self.bitdepth - 1)  # 255 (ref: pMCTF_L.py:46)
@@ -64,7 +71,8 @@ class PMCTF(nn.Module):
                               ll_mode=self.ll_mode, features=self.features,
                               ar_features=self.ar_features)
 
-        self.optic_flow = MESpynet(levels=self.spynet_levels)
+        self.optic_flow = MESpynet(levels=self.spynet_levels,
+                                   luma_mode=self.spynet_luma)
 
         self.mv_encoder = [MvEnc(2, c_mv) for _ in range(n_stages)]
         self.mv_decoder = [MvDec(2, c_mv) for _ in range(n_stages)]
@@ -131,10 +139,12 @@ class PMCTF(nn.Module):
         return self.mv_prior_fusion[me_num](mv_params)
 
     def _me_input(self, frame):
-        """(B,1,H,W) Y plane tiled to 3 channels, normalized.
+        """Normalized ME input from the (B,1,H,W) Y plane.
 
-        ref: pMCTF_L.py:247-253 (SpyNet is pretrained on RGB, hence the
-        3-channel tiling)."""
+        ref: pMCTF_L.py:247-253 tiles to 3 channels for the RGB-pretrained
+        SpyNet; with spynet_luma the tiling is folded into conv1 weights."""
+        if self.spynet_luma:
+            return frame / self.dynamic_range
         return jnp.tile(frame, (1, 3, 1, 1)) / self.dynamic_range
 
     # ---- motion ---------------------------------------------------------------
@@ -198,19 +208,24 @@ class PMCTF(nn.Module):
             mv_hat = jnp.tile(mv_hat, (batch // mv_hat.shape[0], 1, 1, 1))
         return mv_hat
 
+    def _warp(self, x, mv):
+        if self.warp_mode == "fast":
+            return flow_warp_fast(x, mv)
+        return flow_warp(x, mv)
+
     def forward_mctf(self, ref_frame, cur_frame, mv_hat, stage_idx: int = 0):
         """H_t = cur - P(warp(ref, mv)); L_t = ref + U(warp(H_t, -mv)).
 
         ref: pMCTF_L.py:297-312."""
         me_num = self.me_index(stage_idx)
         mv_hat = self._tile_mv(mv_hat, ref_frame.shape[0])
-        pred = flow_warp(ref_frame, mv_hat)
+        pred = self._warp(ref_frame, mv_hat)
         if not self.lossy:
             pred = ste_round(pred)
         pred = self.temporal_filtering[me_num].predict_filter(pred)
         h_t = cur_frame - pred
 
-        inv_pred = flow_warp(h_t, -mv_hat)
+        inv_pred = self._warp(h_t, -mv_hat)
         if not self.lossy:
             inv_pred = ste_round(inv_pred)
         inv_pred = self.temporal_filtering[me_num].update_filter(inv_pred)
@@ -224,12 +239,12 @@ class PMCTF(nn.Module):
         if downscale:
             mv_hat = bilinear_downsample(mv_hat) / 2.0
         mv_hat = self._tile_mv(mv_hat, l_t.shape[0])
-        inv_pred = flow_warp(h_t, -mv_hat)
+        inv_pred = self._warp(h_t, -mv_hat)
         if not self.lossy:
             inv_pred = ste_round(inv_pred)
         inv_pred = self.temporal_filtering[me_num].update_filter(inv_pred)
         ref_frame = l_t - inv_pred
-        pred = flow_warp(ref_frame, mv_hat)
+        pred = self._warp(ref_frame, mv_hat)
         if not self.lossy:
             pred = ste_round(pred)
         pred = self.temporal_filtering[me_num].predict_filter(pred)
@@ -330,8 +345,8 @@ class PMCTF(nn.Module):
         me_num = self.me_index(stage_idx)
         mv_y_q_enc, mv_y_q_dec = self.get_mv_y_q(q_index, me_num)
 
-        mv_cur = jnp.tile(cur_y, (1, 3, 1, 1)) / self.dynamic_range
-        mv_ref = jnp.tile(ref_y, (1, 3, 1, 1)) / self.dynamic_range
+        mv_cur = self._me_input(cur_y)
+        mv_ref = self._me_input(ref_y)
         if me_downsample > 1:
             mv_cur = bilinear_downsample(mv_cur, me_downsample)
             mv_ref = bilinear_downsample(mv_ref, me_downsample)

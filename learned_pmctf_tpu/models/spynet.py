@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.resample import avg_pool2, bilinear_upsample
-from ..ops.warp import flow_warp
+from ..ops.warp import flow_warp, flow_warp_fast
 from .layers import Conv2d
 
 
@@ -30,12 +30,33 @@ class MEBasic(nn.Module):
 
 
 class MESpynet(nn.Module):
-    """Pyramid flow estimation between im1 (current) and im2 (reference)."""
+    """Pyramid flow estimation between im1 (current) and im2 (reference).
+
+    luma_mode (TPU-first redesign): the video coder estimates motion on a
+    luma plane tiled to 3 identical channels (ref: pMCTF_L.py:247-253, for
+    RGB-pretrained SpyNet compatibility). With luma_mode=True the net runs
+    on 1-channel inputs (MEBasic in_ch=4) — mathematically identical to the
+    tiled network when conv1's per-RGB weight slices are summed (see
+    utils.torch_import.load_spynet_torch(luma_mode=True)), and it cuts the
+    warp gathers (the TPU hot spot) and first-conv FLOPs by 3x.
+    """
 
     levels: int = 6
+    luma_mode: bool = False
+    # fast_warp: the pyramid warps only feed the flow refiner (estimation,
+    # not reconstruction), so the gather-free separable warp is used —
+    # the TPU gather was the single hottest op in the whole codec.
+    fast_warp: bool = True
+    fast_warp_disp: int = 32
 
     def setup(self):
-        self.basic = [MEBasic() for _ in range(self.levels)]
+        in_ch = 4 if self.luma_mode else 8
+        self.basic = [MEBasic(in_ch=in_ch) for _ in range(self.levels)]
+
+    def _warp(self, im, flow):
+        if self.fast_warp:
+            return flow_warp_fast(im, flow, self.fast_warp_disp)
+        return flow_warp(im, flow)
 
     def __call__(self, im1, im2):
         im1_list = [im1]
@@ -50,6 +71,7 @@ class MESpynet(nn.Module):
             flow_up = bilinear_upsample(flow) * 2.0
             idx = self.levels - 1 - level
             inp = jnp.concatenate(
-                [im1_list[idx], flow_warp(im2_list[idx], flow_up), flow_up], axis=1)
+                [im1_list[idx], self._warp(im2_list[idx], flow_up), flow_up],
+                axis=1)
             flow = flow_up + self.basic[level](inp)
         return flow

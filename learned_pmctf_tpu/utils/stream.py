@@ -90,3 +90,50 @@ def decode_i(inputpath: str):
         (length,) = struct.unpack(">I", f.read(4))
         bit_stream = struct.unpack(f">{length}s", f.read(length))[0]
     return height, width, q_index, bit_stream
+
+
+def encode_i_b(height: int, width: int, blocksize: int, q_index: int,
+               bit_stream: bytes, output: str):
+    """Blocked I-frame stream: (H, W, blocksize) u32 + q u16 + len + payload.
+
+    ref: stream_helper.py:103-111."""
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">3I", height, width, blocksize))
+        f.write(struct.pack(">H", q_index))
+        f.write(struct.pack(">I", len(bit_stream or b"")))
+        if bit_stream:
+            f.write(struct.pack(f">{len(bit_stream)}s", bit_stream))
+
+
+def decode_i_b(inputpath: str, bitstream: bool = True):
+    with Path(inputpath).open("rb") as f:
+        height, width, blocksize = struct.unpack(">3I", f.read(12))
+        (q_index,) = struct.unpack(">H", f.read(2))
+        (length,) = struct.unpack(">I", f.read(4))
+        stream = struct.unpack(f">{length}s", f.read(length))[0] \
+            if bitstream else None
+    return height, width, blocksize, q_index, stream
+
+
+def encode_i_w(height: int, width: int, q_index: int, bit_streams, output: str):
+    """Per-level wavelet streams: (H, W) u32 + q u16 + [len + payload]*.
+
+    ref: stream_helper.py:155-164."""
+    with Path(output).open("wb") as f:
+        f.write(struct.pack(">2I", height, width))
+        f.write(struct.pack(">H", q_index))
+        for s in bit_streams:
+            f.write(struct.pack(">I", len(s)))
+            if s:
+                f.write(struct.pack(f">{len(s)}s", s))
+
+
+def decode_i_w(inputpath: str, decomp_levels: int = 2):
+    with Path(inputpath).open("rb") as f:
+        height, width = struct.unpack(">2I", f.read(8))
+        (q_index,) = struct.unpack(">H", f.read(2))
+        streams = []
+        for _ in range(decomp_levels):
+            (length,) = struct.unpack(">I", f.read(4))
+            streams.append(struct.unpack(f">{length}s", f.read(length))[0])
+    return height, width, q_index, streams

@@ -12,12 +12,17 @@ from typing import Dict
 import numpy as np
 
 
-def load_spynet_torch(path: str) -> Dict:
+def load_spynet_torch(path: str, luma_mode: bool = False) -> Dict:
     """Convert a sniklaus pytorch-spynet checkpoint to our MESpynet tree.
 
     torch keys: 'moduleBasic.{L}.moduleBasic.{2j}.weight/bias' (or the
     reference's remapped 'moduleBasic.{L}.conv{j}.weight'); ours:
     basic_{L}/conv{j}/{kernel,bias}.
+
+    luma_mode: fold the 3-channel tiled-luma input into 1 channel by
+    summing conv1's weight slices over each RGB group (im1 0:3 -> 0,
+    warped im2 3:6 -> 1, flow 6:8 -> 2:4) — exactly equivalent to running
+    the RGB net on tiled luma (see models.spynet.MESpynet.luma_mode).
     """
     from .checkpoint import load_torch_state_dict
 
@@ -41,7 +46,13 @@ def load_spynet_torch(path: str) -> Dict:
         level, conv, kind = parts[1], parts[2], parts[3]
         dst = out.setdefault(f"basic_{level}", {}).setdefault(conv, {})
         if kind == "weight":
-            dst["kernel"] = np.asarray(v, np.float32)  # OIHW in both
+            w = np.asarray(v, np.float32)  # OIHW in both
+            if luma_mode and conv == "conv1":
+                w = np.concatenate(
+                    [w[:, 0:3].sum(axis=1, keepdims=True),
+                     w[:, 3:6].sum(axis=1, keepdims=True),
+                     w[:, 6:8]], axis=1)
+            dst["kernel"] = w
         else:
             dst["bias"] = np.asarray(v, np.float32)
     return out

@@ -157,7 +157,13 @@ def main(argv):
                             clip_norm=5.0, trainable=mask)
         opt_state = tx.init(params)
         gates = StageGates.for_stage(stage_num)
-        step_fn = make_pmctf_train_step(module, tx, num_frames, gates)
+        # one jitted step per me_base (frame-interval-dependent ME stage
+        # offset, ref: train_pMCTF_L.py:153-159); bounded by num_me_stages
+        step_fn = {
+            mb: make_pmctf_train_step(module, tx, num_frames, gates,
+                                      me_base=mb)
+            for mb in range(args.num_me_stages)
+        }
         logger.info(f"STAGE {stage_num+1}: part={part} frames={num_frames} "
                     f"lr={cfg.lr[stage_num]} gates={gates}")
         return params, opt_state, step_fn
@@ -195,13 +201,12 @@ def main(argv):
             lmbda = get_cur_lambda(cfg.train_lambda, q_index, qp_num)
             if random_interval:
                 me_num = 0 if current_interval == 1 else \
-                    current_interval // (args.num_me_stages - 1)
+                    current_interval // max(args.num_me_stages - 1, 1)
             else:
                 me_num = min(args.num_me_stages - 1, max_interval - 1)
-            # me_base folded into stage_idx inside the jitted step would
-            # retrace; clamp in-module (me_index) keeps it correct.
+            me_num = min(me_num, args.num_me_stages - 1)
             noise_key, sub = jax.random.split(noise_key)
-            params, opt_state, metrics = step_fn(
+            params, opt_state, metrics = step_fn[me_num](
                 params, opt_state, frames, jnp.float32(q_index),
                 jnp.float32(lmbda), sub)
             if global_step % 100 == 0:

@@ -61,6 +61,7 @@ def main(argv):
     from learned_pmctf_tpu.utils.checkpoint import (
         save_checkpoint, load_checkpoint)
     from learned_pmctf_tpu.utils.logger import get_root_logger, get_env_info
+    from learned_pmctf_tpu.utils.visualizer import Visualizer, pwave_visuals
 
     seed = args.seed if args.seed is not None else 0
     rng = np.random.default_rng(seed)
@@ -71,6 +72,7 @@ def main(argv):
     logger = get_root_logger(
         log_file=osp.join(exp_path, f"train_{time.strftime('%Y%m%d_%H%M%S')}.log"))
     logger.info(get_env_info())
+    visualizer = Visualizer(exp_path)
 
     train_ds = VideoFolder(args.dataset, split="train",
                            patch_size=tuple(args.patch_size), seed=seed)
@@ -137,11 +139,18 @@ def main(argv):
         lmbda = get_cur_lambda(LAMBDA_LIST, q_index, qp_num)
         eval_fn = jax.jit(lambda p, x: module.apply(p, x, jnp.float32(q_index),
                                                     training=False))
+        first_batch = True
         for batch in valid_loader:
-            out = eval_fn(params, jnp.asarray(batch))
+            x = jnp.asarray(batch)
+            out = eval_fn(params, x)
             n, _, h, w = batch.shape
             bpp = float(jnp.sum(out["bits"])) / (n * h * w)
             val_losses.append(lmbda * float(out["mse"]) + bpp)
+            if first_batch:
+                visualizer.display_current_results(
+                    pwave_visuals(module, params, x[:1], out["x_hat"][:1]),
+                    epoch, is_eval=True)
+                first_batch = False
         loss = float(np.mean(val_losses)) if val_losses else float("inf")
         logger.info(f"epoch {epoch} valid loss {loss:.4f} "
                     f"({time.time() - t0:.0f}s)")
