@@ -61,11 +61,18 @@ def make_pwave_train_step(module, tx):
 
 def pmctf_gop_loss(module, params, frames, q_index, lmbda,
                    gates: StageGates, me_base: int = 0, rng=None,
-                   remat: bool = True):
+                   remat: bool = True, use_scan: bool = True):
     """End-to-end GOP rate-distortion loss.
 
     frames: list of (B,1,H,W) arrays, length a power of two.
     Returns (loss, metrics). ref: train_pMCTF_L.py:147-246.
+
+    Graph-size control (critical for GOP-16 compile times): within one
+    temporal stage every pair shares shapes and parameters, so pairs
+    1..n-1 run under ONE lax.scan body (the DPB is the carry); only the
+    stage's first pair (empty DPB -> different adaptor branch) is traced
+    separately. The inverse synthesis pairs of a stage are independent
+    and run under vmap. Per-pair rematerialization keeps GOP-16 in HBM.
     """
     num_frames = len(frames)
     num_stages = max(1, int(math.log2(num_frames)))
@@ -84,34 +91,77 @@ def pmctf_gop_loss(module, params, frames, q_index, lmbda,
     results = [None] * num_frames
 
     key_idx = 0
+
+    def next_key():
+        nonlocal key_idx
+        if rng is None:
+            return None
+        key = jax.random.fold_in(rng, key_idx)
+        key_idx += 1
+        return key
+
+    def pack_result(result):
+        return {"bpp_H": result["bpp_H"], "bpp_me": result["bpp_me"],
+                "me_mse": result["me_mse"], "bpp": result["bpp"]}
+
     num_pairs = num_frames // 2
     for stage_idx in range(num_stages):
+        group_step = 2 ** stage_idx
+        code_lt = (stage_idx + 1) == num_stages
+        stage = me_base + stage_idx
+        fidxs = [g * 2 * group_step for g in range(num_pairs)]
+
+        # first pair of the stage: empty DPB (adaptor_0 branch)
         dpb = {"mv_feature": None, "ref_mv_y": None}
-        for group_idx in range(num_pairs):
-            group_step = 2 ** stage_idx
-            fidx = group_idx * 2 * group_step
-            code_lt = (stage_idx + 1) == num_stages
-            key = None
-            if rng is not None:
-                key = jax.random.fold_in(rng, key_idx)
-                key_idx += 1
-            result = code_pair(params, frames_coded[fidx],
-                               frames_coded[fidx + group_step], dpb, code_lt,
-                               me_base + stage_idx, key)
-            dpb = result["dpb"]
-            frames_coded[fidx] = result["L_t"]
-            frames_coded[fidx + group_step] = result["H_t"]
-            mvs[fidx + group_step] = result["mv_hat"]
-            results[fidx + group_step] = {
-                "bpp_H": result["bpp_H"], "bpp_me": result["bpp_me"],
-                "me_mse": result["me_mse"], "bpp": result["bpp"],
-            }
-            if code_lt:
-                results[fidx] = {"bpp_L": result["bpp_L"],
+        result = code_pair(params, frames_coded[fidxs[0]],
+                           frames_coded[fidxs[0] + group_step], dpb,
+                           code_lt, stage, next_key())
+        dpb = result["dpb"]
+        frames_coded[fidxs[0]] = result["L_t"]
+        frames_coded[fidxs[0] + group_step] = result["H_t"]
+        mvs[fidxs[0] + group_step] = result["mv_hat"]
+        results[fidxs[0] + group_step] = pack_result(result)
+        if code_lt:
+            results[fidxs[0]] = {"bpp_L": result["bpp_L"],
                                  "me_mse_inv": result["me_mse_inv"]}
+
+        rest = fidxs[1:]
+        if rest and use_scan:
+            refs = jnp.stack([frames_coded[f] for f in rest])
+            curs = jnp.stack([frames_coded[f + group_step] for f in rest])
+            keys = jnp.stack([next_key() for _ in rest]) if rng is not None \
+                else jnp.zeros((len(rest), 2), jnp.uint32)
+
+            def body(dpb, xs):
+                ref, cur, key = xs
+                out = code_pair(params, ref, cur, dpb, code_lt, stage,
+                                key if rng is not None else None)
+                ys = (out["L_t"], out["H_t"], out["mv_hat"],
+                      pack_result(out))
+                return out["dpb"], ys
+
+            dpb, (l_ts, h_ts, mv_s, packed) = jax.lax.scan(
+                body, dpb, (refs, curs, keys))
+            for i, f in enumerate(rest):
+                frames_coded[f] = l_ts[i]
+                frames_coded[f + group_step] = h_ts[i]
+                mvs[f + group_step] = mv_s[i]
+                results[f + group_step] = jax.tree.map(
+                    lambda v, i=i: v[i], packed)
+        else:
+            for f in rest:
+                result = code_pair(params, frames_coded[f],
+                                   frames_coded[f + group_step], dpb,
+                                   code_lt, stage, next_key())
+                dpb = result["dpb"]
+                frames_coded[f] = result["L_t"]
+                frames_coded[f + group_step] = result["H_t"]
+                mvs[f + group_step] = result["mv_hat"]
+                results[f + group_step] = pack_result(result)
         num_pairs //= 2
 
-    # SYNTHESIS: inverse temporal lifting, fine-to-coarse reversed
+    # SYNTHESIS: inverse temporal lifting; pairs in a stage are
+    # independent -> vmap them (one traced body per stage)
     def inv_pair(params, l_t, h_t, mv, stage_idx):
         return module.apply(params, l_t, h_t, mv, stage_idx,
                             method=type(module).inverse_mctf)
@@ -121,14 +171,27 @@ def pmctf_gop_loss(module, params, frames, q_index, lmbda,
 
     num_pairs = 1
     for stage_idx in reversed(range(num_stages)):
-        for group_idx in reversed(range(num_pairs)):
-            group_step = 2 ** stage_idx
-            fidx = group_idx * 2 * group_step
-            ref, cur = inv_pair(params, frames_coded[fidx],
-                                frames_coded[fidx + group_step],
-                                mvs[fidx + group_step], me_base + stage_idx)
-            frames_coded[fidx] = ref
-            frames_coded[fidx + group_step] = cur
+        group_step = 2 ** stage_idx
+        fidxs = [g * 2 * group_step for g in range(num_pairs)]
+        if len(fidxs) > 1 and use_scan:
+            l_ts = jnp.stack([frames_coded[f] for f in fidxs])
+            h_ts = jnp.stack([frames_coded[f + group_step] for f in fidxs])
+            mv_s = jnp.stack([mvs[f + group_step] for f in fidxs])
+            refs, curs = jax.vmap(
+                lambda l, h, m: inv_pair(params, l, h, m,
+                                         me_base + stage_idx)
+            )(l_ts, h_ts, mv_s)
+            for i, f in enumerate(fidxs):
+                frames_coded[f] = refs[i]
+                frames_coded[f + group_step] = curs[i]
+        else:
+            for f in fidxs:
+                ref, cur = inv_pair(params, frames_coded[f],
+                                    frames_coded[f + group_step],
+                                    mvs[f + group_step],
+                                    me_base + stage_idx)
+                frames_coded[f] = ref
+                frames_coded[f + group_step] = cur
         num_pairs *= 2
 
     # PER-FRAME RD LOSS (stage-gated)

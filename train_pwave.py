@@ -80,8 +80,9 @@ def main(argv):
                            patch_size=tuple(args.patch_size), seed=seed)
     train_loader = DataLoader(train_ds, args.batch_size,
                               num_workers=args.num_workers, seed=seed)
-    valid_loader = DataLoader(valid_ds, args.test_batch_size, shuffle=False,
-                              num_workers=args.num_workers)
+    valid_loader = DataLoader(valid_ds, min(args.test_batch_size, len(valid_ds)),
+                              shuffle=False, num_workers=args.num_workers,
+                              drop_last=False)
 
     steps_per_epoch = len(train_loader)
     if args.steps_per_epoch > 0:
