@@ -25,6 +25,7 @@ from ..entropy.coder import (
     GaussianEncoder,
     build_indexes_from_scales,
 )
+from ..models.context import ContextFusionFourStep
 from ..models.pwave import PWave, BANDS
 from ..utils.stream import encode_image, decode_image
 
@@ -42,6 +43,28 @@ class PWaveCodec:
         self.em = GaussianEncoder("laplace")
         self.em.update(force=True, entropy_coder=self.coder)
         self._jits: Dict = {}
+
+        # standalone fusion-module defs so decode sub-graphs are jitted
+        # once per VARIANT (ll / top-level / lower-level) and shared
+        # across all (lvl, band) positions — params passed as arguments.
+        common = dict(in_ch=1, num_params=2, lossy=module.lossy)
+        self._fusion_defs = {
+            "ll": ContextFusionFourStep(ctx_ch=1, use_ctx=False,
+                                        features=module.ar_features, **common),
+            "top": ContextFusionFourStep(ctx_ch=1, use_ctx=True,
+                                         features=module.features, **common),
+            "low": ContextFusionFourStep(ctx_ch=2, use_ctx=True,
+                                         features=module.features, **common),
+        }
+
+    def _fusion_variant(self, key: str) -> str:
+        if key == "ll":
+            return "ll"
+        lvl = int(key.split("_")[0])
+        return "top" if lvl == self.module.decomp_levels - 1 else "low"
+
+    def _fusion_params(self, key: str):
+        return {"params": self.params["params"][f"context_fusion_{key}"]}
 
     # ---- jit cache ----------------------------------------------------------
 
@@ -102,12 +125,16 @@ class PWaveCodec:
         """Decode one four-step subband; returns the quantized subband."""
         b, c, h, w = shape
         like = jnp.zeros(shape, jnp.float32)
+        variant = self._fusion_variant(key)
+        fdef = self._fusion_defs[variant]
+        fparams = self._fusion_params(key)
 
         hier = self._jit(
-            ("hier", key, prev_subband is None, context is None),
-            lambda p, ctx, prev, like: self.module.apply(
-                p, key, ctx, prev, like, method=PWave.fusion_hier))
-        ctx_feat, scales, means = hier(self.params, context, prev_subband, like)
+            ("hier", variant, prev_subband is None, context is None),
+            lambda p, ctx, prev, like: fdef.apply(
+                p, ctx, prev, like=like,
+                method=ContextFusionFourStep.hier_params))
+        ctx_feat, scales, means = hier(fparams, context, prev_subband, like)
 
         extract = self._jit(
             "extract_idx",
@@ -131,10 +158,11 @@ class PWaveCodec:
             x_hat = scatter(x_hat, vals, means, step)
             if step < 3:
                 spatial = self._jit(
-                    ("spatial", key, step, ctx_feat is None),
-                    lambda p, xh, cf, s=step: self.module.apply(
-                        p, key, xh, cf, s, method=PWave.fusion_spatial))
-                scales, means = spatial(self.params, x_hat, ctx_feat)
+                    ("spatial", variant, step, ctx_feat is None),
+                    lambda p, xh, cf, s=step: fdef.apply(
+                        p, xh, cf, s,
+                        method=ContextFusionFourStep.spatial_params))
+                scales, means = spatial(fparams, x_hat, ctx_feat)
         return x_hat
 
     def _decode_ar_ll(self, shape):

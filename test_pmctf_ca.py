@@ -196,7 +196,14 @@ def run_test(codec, args):
     test_gops = [gop_size]
     while test_gops[-1] // 2 >= 4:
         test_gops.append(test_gops[-1] // 2)
-    ds_factors = [1, 2, 4, 8]
+    # the 6-level SpyNet pyramid needs >=64 px after ME downsampling
+    # (the reference grows its padding with ds instead,
+    # ref: test_pMCTF_CA.py:121-123; at the UVG resolutions both
+    # formulations admit every factor)
+    pad_h = args["src_height"] + pt + pb
+    pad_w = args["src_width"] + pl + pr
+    ds_factors = [d for d in (1, 2, 4, 8)
+                  if min(pad_h, pad_w) // d >= 64]
 
     logs = {k: [0.0] * frame_num for k in
             ("psnrs", "bpps", "bits", "bpp_mv")}
