@@ -48,7 +48,13 @@ def parse_args(argv):
     p.add_argument("--seq_num", type=int, default=-1)
     p.add_argument("--ds_name", type=str, default=None)
     p.add_argument("--lossless", action="store_true")
-    p.add_argument("--two_stage_me", action="store_true")
+    # Reference CLI parity: in the reference, two_stage_me is stored on the
+    # model but never read (ref: pMCTF/models/video/pMCTF_L.py:113, no other
+    # use); ME-stage selection is min(num_me_stages-1, stage_idx). Here the
+    # flag enforces its evident intent: at least 2 ME stages.
+    p.add_argument("--two_stage_me", action="store_true",
+                   help="use a distinct ME network for temporal stage >0 "
+                        "(forces num_me_stages >= 2)")
     p.add_argument("--skip_decoding", action="store_true")
     p.add_argument("--num_me_stages", default=1, type=int)
     p.add_argument("--q_index_num", default=1, type=int)
@@ -63,7 +69,10 @@ def parse_args(argv):
     p.add_argument("--ar_features", type=int, default=128)
     p.add_argument("--channel_mv", type=int, default=64)
     p.add_argument("--decomp_levels", type=int, default=4)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.two_stage_me and args.num_me_stages < 2:
+        args.num_me_stages = 2
+    return args
 
 
 def build_codec(args):
