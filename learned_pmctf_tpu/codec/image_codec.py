@@ -9,7 +9,8 @@ Orchestrates jitted device sub-graphs with host-side rANS:
   per subband and per pixel on the GPU side).
 - decompress: four-step subbands need 4 rANS round trips each; between
   them small jitted parameter sub-graphs run on device. The AR LL mode
-  decodes per pixel (reference-parity path; ref: pWave.py:557-584).
+  decodes by anti-diagonal wavefronts (~2H+W round trips instead of the
+  reference's per-pixel H*W; ref: pWave.py:557-584, see ar_wavefronts).
 """
 
 from __future__ import annotations
@@ -32,11 +33,40 @@ from ..utils.stream import encode_image, decode_image
 PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
+def ar_wavefronts(h: int, w: int):
+    """Anti-diagonal wavefronts t = 2*row + col for the AR LL model.
+
+    The masked-conv stack's dependency cone is (row, col) <- {(row, <col),
+    (row-k, <= col+k)}: each causal 3x3 layer crossing a row up can shift
+    at most one column right. Every pixel on wavefront t therefore depends
+    only on pixels with t' < t, so a whole wavefront is decodable from one
+    parameter-plane evaluation + ONE rANS call — ~2H+W host round trips
+    instead of H*W (e.g. 264 vs 8640 for the 1080p LL band).
+
+    Returns a list of (rows, cols) index arrays, one per non-empty front,
+    ordered by t then by row. TPU-first redesign of the reference's
+    per-pixel loop (ref: pMCTF/models/pWave.py:557-584).
+    """
+    fronts = []
+    for t in range(2 * (h - 1) + w):
+        rows = []
+        cols = []
+        for r in range(min(h - 1, t // 2), -1, -1):
+            c = t - 2 * r
+            if 0 <= c < w:
+                rows.append(r)
+                cols.append(c)
+        if rows:
+            order = np.argsort(rows)
+            fronts.append((np.asarray(rows)[order], np.asarray(cols)[order]))
+    return fronts
+
+
 class PWaveCodec:
     """Host wrapper: (module, params) -> real bitstreams and back."""
 
-    def __init__(self, module: PWave, params, ec_thread: bool = False,
-                 stream_part: int = 1):
+    def __init__(self, module: PWave, params, ec_thread: bool = True,
+                 stream_part: int = 2):
         self.module = module
         self.params = params
         self.coder = EntropyCoder(ec_thread, stream_part)
@@ -106,11 +136,23 @@ class PWaveCodec:
                         np.asarray(entry["symbols"][k]).reshape(-1),
                         np.asarray(entry["indexes"][k]).reshape(-1),
                         self.em._cdf, self.em._cdf_length, self.em._offset)
-            else:  # AR (single pixel-major plane)
-                self.coder.encode_with_indexes(
-                    np.asarray(entry["symbols"]).reshape(-1),
-                    np.asarray(entry["indexes"]).reshape(-1),
-                    self.em._cdf, self.em._cdf_length, self.em._offset)
+            else:  # AR: reorder the pixel-major plane to wavefront order.
+                # One encode call PER FRONT, mirroring _decode_ar_ll's call
+                # granularity: the multi-substream splitter partitions each
+                # call's symbols across parts (csrc/rans_lib.cpp MultiEncoder
+                # ::encode), so per-stream contents only match when encoder
+                # and decoder chunk the symbol sequence identically.
+                syms = np.asarray(entry["symbols"])  # (H, W, B, C)
+                idxs = np.asarray(entry["indexes"])
+                hh, ww, b, c = syms.shape
+                bc = b * c
+                flat_s = syms.reshape(hh * ww, bc)
+                flat_i = idxs.reshape(hh * ww, bc)
+                for rows, cols in ar_wavefronts(hh, ww):
+                    f = rows * ww + cols
+                    self.coder.encode_with_indexes(
+                        flat_s[f].reshape(-1), flat_i[f].reshape(-1),
+                        self.em._cdf, self.em._cdf_length, self.em._offset)
         self.coder.flush()
         bit_stream = self.coder.get_encoded_stream()
         if file_name is not None:
@@ -166,36 +208,36 @@ class PWaveCodec:
         return x_hat
 
     def _decode_ar_ll(self, shape):
-        """Per-pixel AR decode (reference-parity mode)."""
+        """Wavefront AR decode: one full-plane parameter evaluation + ONE
+        rANS call per anti-diagonal front (see ar_wavefronts). Bit-exact
+        vs the teacher-forced encoder: the net runs at the SAME full-plane
+        shape both sides, and every pixel of front t depends only on
+        pixels of earlier fronts (already decoded)."""
         b, c, h, w = shape
 
-        params_fn = self._jit(
-            "ar_params",
-            lambda p, partial: self.module.apply(
-                p, partial, method=PWave.ar_params))
-        pick = self._jit(
-            "ar_pick",
-            lambda sc, mn, hh, ww: (
-                jax.lax.dynamic_slice(sc, (0, 0, hh, ww), (b, c, 1, 1)),
-                jax.lax.dynamic_slice(mn, (0, 0, hh, ww), (b, c, 1, 1))))
-        write = self._jit(
-            "ar_write",
-            lambda partial, v, hh, ww: jax.lax.dynamic_update_slice(
-                partial, v, (0, 0, hh, ww)))
+        plane_fn = self._jit(
+            "ar_plane",
+            lambda p, partial: (
+                lambda sm: (build_indexes_from_scales(sm[0]),
+                            jnp.round(sm[1])))(
+                self.module.apply(p, partial, method=PWave.ar_params)))
 
-        partial = jnp.zeros(shape, jnp.float32)
-        for hh in range(h):
-            for ww in range(w):
-                scales, means = params_fn(self.params, partial)
-                sc, mn = pick(scales, means, hh, ww)
-                idx = build_indexes_from_scales(sc)
-                vals = self.coder.decode_stream(
-                    np.asarray(idx), self.em._cdf, self.em._cdf_length,
-                    self.em._offset)
-                vals = jnp.asarray(
-                    vals.reshape(sc.shape), jnp.float32) + jnp.round(mn)
-                partial = write(partial, vals, hh, ww)
-        return partial
+        partial = np.zeros(shape, np.float32)
+        for rows, cols in ar_wavefronts(h, w):
+            idx_plane, rmeans = plane_fn(self.params, jnp.asarray(partial))
+            idx_plane = np.asarray(idx_plane)   # one host readback per front
+            rmeans = np.asarray(rmeans)
+            # (n, b, c): front positions major, batch*channel minor —
+            # matches the encoder's per-front symbol order
+            idx = idx_plane[:, :, rows, cols].transpose(2, 0, 1)
+            vals = self.coder.decode_stream(
+                idx.reshape(-1), self.em._cdf, self.em._cdf_length,
+                self.em._offset)
+            vals = vals.reshape(idx.shape).astype(np.float32)
+            partial[:, :, rows, cols] = (
+                vals + rmeans[:, :, rows, cols].transpose(2, 0, 1)
+            ).transpose(1, 2, 0)
+        return jnp.asarray(partial)
 
     def decompress(self, file_name: Optional[str] = None, stream: bytes = None,
                    shape=None, padding: int = 128, q_index: int = 0,

@@ -45,8 +45,12 @@ from .image_codec import PWaveCodec
 class PMCTFCodec:
     """Host wrapper for real bitstream encode/decode of pMCTF."""
 
-    def __init__(self, module: PMCTF, params, ec_thread: bool = False,
-                 stream_part: int = 1):
+    def __init__(self, module: PMCTF, params, ec_thread: bool = True,
+                 stream_part: int = 2):
+        # Defaults enable the production host pipeline: the background-
+        # thread rANS encoder overlaps entropy coding with device work
+        # (ref: pMCTF/cpp/rans/rans.cpp:174-263) and 2 substreams decode
+        # concurrently (byte format per py_rans.cpp:89-118).
         self.module = module
         self.params = params
         self.coder = EntropyCoder(ec_thread, stream_part)

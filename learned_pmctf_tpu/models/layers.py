@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.masks import causal_conv_mask
+from ..ops.fold import fold2_weights
 
 _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -94,7 +95,14 @@ class Conv2d(nn.Module):
     init_weights: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded: bool = False):
+        """folded=True: `x` is a fold2()-space tensor (4*in_ch channels at
+        half resolution); the kernel is folded on the fly (see ops.fold)
+        and a folded-space output is returned. Only valid for stride 1,
+        groups 1, odd square kernels — the small-channel hot nets
+        (PredictUpdate, MEBasic) use this to keep the whole net in folded
+        space with one fold/unfold at the boundary.
+        """
         kh, kw = _pair(self.kernel)
         shape = (self.out_ch, self.in_ch // self.groups, kh, kw)
         if self.init_weights is not None:
@@ -103,6 +111,14 @@ class Conv2d(nn.Module):
         else:
             kinit = self.kernel_init or _default_kernel_init
         w = self.param("kernel", kinit, shape)
+        if folded:
+            assert self.stride == 1 and self.groups == 1 and kh == kw, self
+            wf, pad = fold2_weights(w)
+            y = conv2d_nchw(x, wf, 1, pad, 1)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+                y = y + jnp.repeat(b, 4).reshape(1, -1, 1, 1)
+            return y
         pad = self.padding
         if pad is None:
             pad = ((kh - 1) // 2, (kw - 1) // 2)
@@ -146,6 +162,11 @@ class PredictUpdate(nn.Module):
 
     ref: pMCTF/layers/lifting_1d.py:25-49 — conv3x3 chain with tanh,
     inner residual connection from conv1, 16 hidden channels.
+
+    16-channel 3x3 convs run at ~4 TFLOP/s on the v5e MXU (lane
+    underfill); the whole net therefore executes in fold2 space (64
+    channels at half resolution, measured ~1.9x) whenever the input is
+    even-sized and folding is enabled (ops.fold.fold_small_convs).
     """
 
     in_ch: int = 1
@@ -153,13 +174,18 @@ class PredictUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c1 = Conv2d(self.in_ch, self.hidden, 3, name="conv1")(x)
+        from ..ops.fold import fold2, unfold2, foldable
+        fold = foldable(x)
+        if fold:
+            x = fold2(x)
+        c1 = Conv2d(self.in_ch, self.hidden, 3, name="conv1")(x, folded=fold)
         x = jnp.tanh(c1)
-        x = Conv2d(self.hidden, self.hidden, 3, name="conv2")(x)
+        x = Conv2d(self.hidden, self.hidden, 3, name="conv2")(x, folded=fold)
         x = jnp.tanh(x)
-        x = Conv2d(self.hidden, self.hidden, 3, name="conv3")(x)
+        x = Conv2d(self.hidden, self.hidden, 3, name="conv3")(x, folded=fold)
         x = c1 + x
-        return Conv2d(self.hidden, self.in_ch, 3, name="conv4")(x)
+        y = Conv2d(self.hidden, self.in_ch, 3, name="conv4")(x, folded=fold)
+        return unfold2(y) if fold else y
 
 
 class ResBlock(nn.Module):

@@ -53,11 +53,15 @@ class PMCTF(nn.Module):
     spynet_levels: int = 6
     spynet_luma: bool = True  # 1-channel ME (3x fewer warp gathers)
     # warp used for the CODED temporal lifting: 'exact' (bilinear gather,
-    # reference semantics) or 'fast' (gather-free separable warp — ~25x
-    # cheaper on TPU; deterministic/self-consistent, approximate only for
-    # horizontally rough motion fields). Both sides of the codec use the
-    # same mode, so streams stay decodable either way.
-    warp_mode: str = "exact"
+    # reference semantics) or 'fast' (gather-free separable warp — measured
+    # 65.6 ms -> 5.8 ms per 1080p warp on v5e; deterministic and
+    # self-consistent, approximate only for horizontally rough motion
+    # fields and |mv| > warp_max_disp). Both sides of the codec use the
+    # same mode, so streams stay decodable either way. Default 'fast':
+    # the exact gather warp was the single hottest op in the whole codec
+    # (~6 s of a 19 s GOP-16 at 1080p).
+    warp_mode: str = "fast"
+    warp_max_disp: int = 32
 
     def setup(self):
         self.dynamic_range = float(2 ** self.bitdepth - 1)  # 255 (ref: pMCTF_L.py:46)
@@ -210,7 +214,7 @@ class PMCTF(nn.Module):
 
     def _warp(self, x, mv):
         if self.warp_mode == "fast":
-            return flow_warp_fast(x, mv)
+            return flow_warp_fast(x, mv, self.warp_max_disp)
         return flow_warp(x, mv)
 
     def forward_mctf(self, ref_frame, cur_frame, mv_hat, stage_idx: int = 0):

@@ -16,17 +16,26 @@ from .layers import Conv2d
 
 
 class MEBasic(nn.Module):
-    """One pyramid-level flow refiner: 8 -> 32 -> 64 -> 32 -> 16 -> 2."""
+    """One pyramid-level flow refiner: 8 -> 32 -> 64 -> 32 -> 16 -> 2.
+
+    The 7x7 convs run at ~40 TFLOP/s at these widths; executing the whole
+    stack in fold2 space (4x channels at half res, 5x5 folded kernels)
+    measured ~2x faster (see ops.fold)."""
 
     in_ch: int = 8
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(Conv2d(self.in_ch, 32, 7, name="conv1")(x))
-        x = nn.relu(Conv2d(32, 64, 7, name="conv2")(x))
-        x = nn.relu(Conv2d(64, 32, 7, name="conv3")(x))
-        x = nn.relu(Conv2d(32, 16, 7, name="conv4")(x))
-        return Conv2d(16, 2, 7, name="conv5")(x)
+        from ..ops.fold import fold2, unfold2, foldable
+        fold = foldable(x)
+        if fold:
+            x = fold2(x)
+        x = nn.relu(Conv2d(self.in_ch, 32, 7, name="conv1")(x, folded=fold))
+        x = nn.relu(Conv2d(32, 64, 7, name="conv2")(x, folded=fold))
+        x = nn.relu(Conv2d(64, 32, 7, name="conv3")(x, folded=fold))
+        x = nn.relu(Conv2d(32, 16, 7, name="conv4")(x, folded=fold))
+        y = Conv2d(16, 2, 7, name="conv5")(x, folded=fold)
+        return unfold2(y) if fold else y
 
 
 class MESpynet(nn.Module):
