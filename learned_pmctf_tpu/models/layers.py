@@ -29,11 +29,15 @@ _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 # ---------------------------------------------------------------------------
 # Conv compute precision policy.
 #
-# When set to jnp.bfloat16, every Conv2d casts inputs+kernels to bf16 and
-# accumulates in f32 on the MXU (params stay f32). The flag is read at
-# TRACE time, so encoder and decoder traced under the same policy produce
-# bitwise-identical parameter planes (the determinism requirement of
-# SURVEY.md §7.3). Default None = full f32.
+# When set to jnp.bfloat16, every Conv2d casts inputs+kernels to bf16,
+# accumulates in f32 on the MXU, and returns the result IN bf16 — the
+# activations stay bf16 between convs, halving the HBM traffic of the
+# full-resolution stacks (the compute was already bf16 on the MXU by
+# default precision; keeping f32 activations is what made earlier bf16
+# experiments a wash). Callers cast back to f32 at the net boundary.
+# The flag is read at TRACE time, so encoder and decoder traced under
+# the same policy produce bitwise-identical parameter planes (the
+# determinism requirement of SURVEY.md §7.3). Default None = full f32.
 # ---------------------------------------------------------------------------
 
 import contextlib
@@ -67,7 +71,6 @@ def conv2d_nchw(x, w, stride=1, padding="SAME", groups=1):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     cdt = current_conv_dtype()
-    out_dtype = x.dtype
     if cdt is not None:
         x = x.astype(cdt)
         w = w.astype(cdt)
@@ -77,7 +80,7 @@ def conv2d_nchw(x, w, stride=1, padding="SAME", groups=1):
         feature_group_count=groups,
         preferred_element_type=jnp.float32 if cdt is not None else None,
     )
-    return y.astype(out_dtype) if cdt is not None else y
+    return y.astype(cdt) if cdt is not None else y
 
 
 class Conv2d(nn.Module):
@@ -117,7 +120,7 @@ class Conv2d(nn.Module):
             y = conv2d_nchw(x, wf, 1, pad, 1)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-                y = y + jnp.repeat(b, 4).reshape(1, -1, 1, 1)
+                y = y + jnp.repeat(b, 4).reshape(1, -1, 1, 1).astype(y.dtype)
             return y
         pad = self.padding
         if pad is None:
@@ -128,7 +131,7 @@ class Conv2d(nn.Module):
         y = conv2d_nchw(x, w, self.stride, pad, self.groups)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            y = y + b.reshape(1, -1, 1, 1)
+            y = y + b.reshape(1, -1, 1, 1).astype(y.dtype)
         return y
 
 

@@ -38,6 +38,27 @@ def pwave_codec():
     return PWaveCodec(m, params)
 
 
+def _assert_roundtrip(codec, f, x_hat_enc, padding, q_index):
+    """Decoded recon vs encoder recon, as tight as the construction allows.
+
+    The decoded integer symbols are exact by construction (any symbol
+    error desyncs the range coder and produces O(100) errors, not 1e-5).
+    The reconstructions can differ by float ulps ONLY because the encoder
+    evaluates the parameter nets inside one fused program while the
+    decoder uses standalone sub-programs; XLA may fuse/reassociate those
+    differently. 1e-5 is far below one quantization step, so any real
+    divergence (context-model mismatch, stream desync) fails loudly.
+    Decoding itself must be bit-deterministic: two decodes are identical.
+    """
+    out = codec.decompress(file_name=f, padding=padding, q_index=q_index)
+    np.testing.assert_allclose(
+        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-5, rtol=0)
+    out2 = codec.decompress(file_name=f, padding=padding, q_index=q_index)
+    np.testing.assert_array_equal(
+        np.asarray(out["x_hat"]), np.asarray(out2["x_hat"]))
+    return out
+
+
 def test_pwave_fourstep_roundtrip(pwave_codec, tmp_path):
     codec = pwave_codec
     x = _img((1, 1, 32, 32), 1)
@@ -45,9 +66,7 @@ def test_pwave_fourstep_roundtrip(pwave_codec, tmp_path):
     x_hat_enc, stream = codec.compress(x, q_index=10, file_name=f,
                                        sideinfo=(1, 1, 32, 32))
     assert len(stream) > 0
-    out = codec.decompress(file_name=f, padding=32, q_index=10)
-    np.testing.assert_allclose(
-        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-4)
+    _assert_roundtrip(codec, f, x_hat_enc, padding=32, q_index=10)
 
 
 def test_pwave_roundtrip_multiple_rates(pwave_codec, tmp_path):
@@ -58,9 +77,7 @@ def test_pwave_roundtrip_multiple_rates(pwave_codec, tmp_path):
         f = str(tmp_path / f"img_q{q}.bin")
         x_hat_enc, stream = codec.compress(x, q_index=q, file_name=f,
                                            sideinfo=(1, 1, 32, 32))
-        out = codec.decompress(file_name=f, padding=32, q_index=q)
-        np.testing.assert_allclose(
-            np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-4)
+        _assert_roundtrip(codec, f, x_hat_enc, padding=32, q_index=q)
         sizes.append(len(stream))
     assert sizes[0] < sizes[1]  # higher q_index -> finer quant -> more bits
 
@@ -72,9 +89,7 @@ def test_pwave_roundtrip_batch2(pwave_codec, tmp_path):
     f = str(tmp_path / "chroma.bin")
     x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
                                   sideinfo=(1, 2, 32, 32))
-    out = codec.decompress(file_name=f, padding=32, q_index=10)
-    np.testing.assert_allclose(
-        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-4)
+    _assert_roundtrip(codec, f, x_hat_enc, padding=32, q_index=10)
 
 
 def test_pwave_ar_roundtrip(tmp_path):
@@ -88,6 +103,4 @@ def test_pwave_ar_roundtrip(tmp_path):
     f = str(tmp_path / "ar.bin")
     x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
                                   sideinfo=(1, 1, 16, 16))
-    out = codec.decompress(file_name=f, padding=16, q_index=10)
-    np.testing.assert_allclose(
-        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-4)
+    _assert_roundtrip(codec, f, x_hat_enc, padding=16, q_index=10)

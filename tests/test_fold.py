@@ -92,6 +92,18 @@ def test_mebasic_folded_matches_unfolded():
                                atol=3e-5, rtol=1e-5)
 
 
+def test_fold_batch_gate():
+    """Folding is restricted to batch <= 2: at larger batch XLA picks
+    pathological layouts for the 6-D fold intermediates (measured
+    32-128x tile-padding HBM expansion at 1080p batch 8)."""
+    from learned_pmctf_tpu.ops.fold import foldable
+    import jax.numpy as jnp
+    assert foldable(jnp.zeros((1, 1, 8, 8)))
+    assert foldable(jnp.zeros((2, 1, 8, 8)))
+    assert not foldable(jnp.zeros((4, 1, 8, 8)))
+    assert not foldable(jnp.zeros((1, 1, 7, 8)))
+
+
 def test_param_tree_unchanged_by_folding():
     """Folding is an execution detail: the param tree (names, shapes) is
     identical, so checkpoints and the torch importer are unaffected."""

@@ -141,7 +141,10 @@ def main(argv):
             dataset.use_random_interval()
         if stage_num == 5 and part == "All" and not quant_stage_enabled:
             logger.info("ENABLE TEMPORAL LAYER ADAPTIVE QUALITY SCALING")
-            module = module.replace(quant_stage=True)
+            # flax Modules are frozen dataclasses: clone(), not replace()
+            # (hp_q_scale params exist in the tree regardless of the flag,
+            # so flipping it mid-curriculum is structurally safe)
+            module = module.clone(quant_stage=True)
             quant_stage_enabled = True
         if num_frames > 8 and num_frames != cfg.num_frames[stage_num - 1]:
             me_stage = int(math.log2(num_frames))
