@@ -197,10 +197,10 @@ class ResBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x):
-        y = Conv2d(self.channels, self.channels, 3, name="conv1")(x)
+    def __call__(self, x, folded: bool = False):
+        y = Conv2d(self.channels, self.channels, 3, name="conv1")(x, folded=folded)
         y = nn.leaky_relu(y, negative_slope=0.2)
-        y = Conv2d(self.channels, self.channels, 3, name="conv2")(y)
+        y = Conv2d(self.channels, self.channels, 3, name="conv2")(y, folded=folded)
         return x + y
 
 
