@@ -36,7 +36,7 @@ def main():
 
     enable_compilation_cache()
 
-    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep")
+    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep", warp_mode="fast")
     g = np.random.default_rng(0)
 
     # init at small spatial size (params are shape-agnostic)

@@ -23,7 +23,7 @@ def main():
 
     enable_compilation_cache()
 
-    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep")
+    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep", warp_mode="fast")
     g = np.random.default_rng(0)
     small = jnp.asarray(g.integers(0, 256, (1, 1, 128, 128)), jnp.float32)
     dpb0 = {"mv_feature": None, "ref_mv_y": None}

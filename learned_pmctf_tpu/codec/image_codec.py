@@ -26,7 +26,7 @@ from ..entropy.coder import (
     GaussianEncoder,
     build_indexes_from_scales,
 )
-from ..models.context import ContextFusionFourStep
+from ..models.context import AR_MASKED_KERNEL, ContextFusionFourStep
 from ..models.pwave import PWave, BANDS
 from ..utils.stream import encode_image, decode_image
 
@@ -137,6 +137,9 @@ class PWaveCodec:
                         np.asarray(entry["indexes"][k]).reshape(-1),
                         self.em._cdf, self.em._cdf_length, self.em._offset)
             else:  # AR: reorder the pixel-major plane to wavefront order.
+                # the t = 2r + c slope of ar_wavefronts is only causal for
+                # 3x3 masked kernels — fail loudly rather than desync
+                assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
                 # One encode call PER FRONT, mirroring _decode_ar_ll's call
                 # granularity: the multi-substream splitter partitions each
                 # call's symbols across parts (csrc/rans_lib.cpp MultiEncoder
@@ -164,47 +167,64 @@ class PWaveCodec:
 
     def _decode_fourstep(self, key: str, shape, context, prev_subband,
                          q_index, qp_scale):
-        """Decode one four-step subband; returns the quantized subband."""
-        b, c, h, w = shape
-        like = jnp.zeros(shape, jnp.float32)
+        """Decode one four-step subband; returns the quantized subband.
+
+        Host round-trip budget per subband: 5 device programs + 4 rANS
+        calls + 4 index readbacks (the sequential minimum — each pass's
+        symbols are needed before the next pass's parameters exist;
+        ref: context_fusion_4step.py:196-249 has the same 4-call floor).
+        The scatter of pass k, the spatial-prior net of pass k and the
+        index extraction of pass k+1 are fused into ONE program so the
+        critical path between rANS calls is a single dispatch.
+        """
         variant = self._fusion_variant(key)
         fdef = self._fusion_defs[variant]
         fparams = self._fusion_params(key)
 
-        hier = self._jit(
-            ("hier", variant, prev_subband is None, context is None),
-            lambda p, ctx, prev, like: fdef.apply(
-                p, ctx, prev, like=like,
-                method=ContextFusionFourStep.hier_params))
-        ctx_feat, scales, means = hier(fparams, context, prev_subband, like)
+        def _extract(scales, k):
+            return build_indexes_from_scales(
+                scales[:, :, PHASES[k][0]::2, PHASES[k][1]::2])
 
-        extract = self._jit(
-            "extract_idx",
-            lambda s, k: build_indexes_from_scales(
-                s[:, :, PHASES[k][0]::2, PHASES[k][1]::2]),
-            static_argnums=1)
-        scatter = self._jit(
-            "scatter4",
-            lambda xh, vals, m, k: xh.at[
-                :, :, PHASES[k][0]::2, PHASES[k][1]::2].set(
-                vals + m[:, :, PHASES[k][0]::2, PHASES[k][1]::2]),
-            static_argnums=3)
+        def _scatter(xh, vals, m, k):
+            return xh.at[:, :, PHASES[k][0]::2, PHASES[k][1]::2].set(
+                vals + m[:, :, PHASES[k][0]::2, PHASES[k][1]::2])
+
+        # head: context features + pass-0 params + pass-0 rANS indexes
+        def head_fn(p, ctx, prev, like):
+            ctx_feat, scales, means = fdef.apply(
+                p, ctx, prev, like=like,
+                method=ContextFusionFourStep.hier_params)
+            return ctx_feat, _extract(scales, 0), means
+
+        head = self._jit(
+            ("fs_head", variant, prev_subband is None, context is None),
+            head_fn)
+        like = jnp.zeros(shape, jnp.float32)
+        ctx_feat, idx, means = head(fparams, context, prev_subband, like)
+
+        # body k (k=0..2): scatter pass-k symbols, run spatial prior k,
+        # extract pass-(k+1) indexes — one fused program
+        def body_fn(p, xh, v, m, cf, k):
+            xh = _scatter(xh, v, m, k)
+            scales, means2 = fdef.apply(
+                p, xh, cf, k, method=ContextFusionFourStep.spatial_params)
+            return xh, _extract(scales, k + 1), means2
+
+        tail = self._jit("fs_tail", lambda xh, v, m: _scatter(xh, v, m, 3))
 
         x_hat = jnp.zeros(shape, jnp.float32)
         for step in range(4):
-            idx = extract(scales, step)
             vals = self.coder.decode_stream(
                 np.asarray(idx), self.em._cdf, self.em._cdf_length,
                 self.em._offset)
             vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
-            x_hat = scatter(x_hat, vals, means, step)
             if step < 3:
-                spatial = self._jit(
-                    ("spatial", variant, step, ctx_feat is None),
-                    lambda p, xh, cf, s=step: fdef.apply(
-                        p, xh, cf, s,
-                        method=ContextFusionFourStep.spatial_params))
-                scales, means = spatial(fparams, x_hat, ctx_feat)
+                body = self._jit(
+                    ("fs_body", variant, step, ctx_feat is None),
+                    lambda p, xh, v, m, cf, s=step: body_fn(p, xh, v, m, cf, s))
+                x_hat, idx, means = body(fparams, x_hat, vals, means, ctx_feat)
+            else:
+                x_hat = tail(x_hat, vals, means)
         return x_hat
 
     def _decode_ar_ll(self, shape):
@@ -213,20 +233,26 @@ class PWaveCodec:
         vs the teacher-forced encoder: the net runs at the SAME full-plane
         shape both sides, and every pixel of front t depends only on
         pixels of earlier fronts (already decoded)."""
+        # see the matching assert in compress(): slope assumes 3x3 kernels
+        assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
         b, c, h, w = shape
 
+        # Both planes are integer-valued (indexes and ROUNDED means), so
+        # they stack into one int32 array — ONE host readback per front
+        # instead of two (each readback is a full sync through the tunnel).
         plane_fn = self._jit(
             "ar_plane",
             lambda p, partial: (
-                lambda sm: (build_indexes_from_scales(sm[0]),
-                            jnp.round(sm[1])))(
+                lambda sm: jnp.stack([
+                    build_indexes_from_scales(sm[0]),
+                    jnp.round(sm[1]).astype(jnp.int32)]))(
                 self.module.apply(p, partial, method=PWave.ar_params)))
 
         partial = np.zeros(shape, np.float32)
         for rows, cols in ar_wavefronts(h, w):
-            idx_plane, rmeans = plane_fn(self.params, jnp.asarray(partial))
-            idx_plane = np.asarray(idx_plane)   # one host readback per front
-            rmeans = np.asarray(rmeans)
+            both = np.asarray(plane_fn(self.params, jnp.asarray(partial)))
+            idx_plane = both[0]                 # one host readback per front
+            rmeans = both[1].astype(np.float32)
             # (n, b, c): front positions major, batch*channel minor —
             # matches the encoder's per-front symbol order
             idx = idx_plane[:, :, rows, cols].transpose(2, 0, 1)

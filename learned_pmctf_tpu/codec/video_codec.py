@@ -134,40 +134,48 @@ class PMCTFCodec:
                 p, z, d, stage, method=PMCTF.mv_prior_params))
         mv_params = prior(self.params, mv_z_hat, dpb)
 
-        split = self._jit(
-            "mv_split", lambda p, mp: self.module.apply(
-                p, mp, method=PMCTF.mv_decode_split))
-        q_dec, scales_q, means_q = split(self.params, mv_params)
-
+        # Same fusion as PWaveCodec._decode_fourstep: the sequential floor
+        # is 4 rANS calls; everything between two calls (scatter of pass k,
+        # spatial prior k, index extraction of pass k+1) is ONE program.
         h, w = mv_params.shape[2], mv_params.shape[3]
-        step_scales = self._jit(
-            "mv_step_scales",
-            lambda sq, k: build_indexes_from_scales(
-                four_part_prior_decode_scales(
-                    sq, checkerboard_masks(h, w), k)),
-            static_argnums=1)
-        scatter = self._jit(
-            "mv_scatter",
-            lambda v, mq, k: four_part_prior_scatter(
-                v, mq, checkerboard_masks(h, w), k),
-            static_argnums=2)
+
+        def _idx(sq, k):
+            return build_indexes_from_scales(
+                four_part_prior_decode_scales(sq, checkerboard_masks(h, w), k))
+
+        def head_fn(p, mp):
+            q_dec, scales_q, means_q = self.module.apply(
+                p, mp, method=PMCTF.mv_decode_split)
+            return q_dec, _idx(tuple(scales_q), 0), tuple(means_q)
+
+        q_dec, idx, means_q = self._jit(("mv_head", stage), head_fn)(
+            self.params, mv_params)
+
+        def body_fn(p, yh, v, mq, mp, k):
+            y_hat_curr = four_part_prior_scatter(
+                v, tuple(mq), checkerboard_masks(h, w), k)
+            yh = y_hat_curr if yh is None else yh + y_hat_curr
+            if k == 3:
+                return yh
+            scales_q, means_q = self.module.apply(
+                p, yh, mp, stage, k, method=PMCTF.mv_decode_spatial)
+            return yh, _idx(tuple(scales_q), k + 1), tuple(means_q)
 
         y_hat_so_far = None
         for step in range(4):
-            idx = step_scales(tuple(scales_q), step)
             vals = self.coder.decode_stream(
                 np.asarray(idx), self.em._cdf, self.em._cdf_length,
                 self.em._offset)
             vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
-            y_hat_curr = scatter(vals, tuple(means_q), step)
-            y_hat_so_far = y_hat_curr if y_hat_so_far is None \
-                else y_hat_so_far + y_hat_curr
+            body = self._jit(
+                ("mv_body", stage, step, y_hat_so_far is None),
+                lambda p, yh, v, mq, mp, s=step: body_fn(p, yh, v, mq, mp, s))
             if step < 3:
-                spatial = self._jit(
-                    ("mv_spatial", stage, step),
-                    lambda p, yh, mp, s=step: self.module.apply(
-                        p, yh, mp, stage, s, method=PMCTF.mv_decode_spatial))
-                scales_q, means_q = spatial(self.params, y_hat_so_far, mv_params)
+                y_hat_so_far, idx, means_q = body(
+                    self.params, y_hat_so_far, vals, means_q, mv_params)
+            else:
+                y_hat_so_far = body(
+                    self.params, y_hat_so_far, vals, means_q, mv_params)
 
         mv_y_hat = y_hat_so_far * q_dec
         tail = self._jit(

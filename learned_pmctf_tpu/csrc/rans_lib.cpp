@@ -328,6 +328,12 @@ class MultiDecoder {
   void set_stream(const uint8_t* data, int size) {
     const uint8_t flag = data[0];
     const int n_streams = (flag >> 4) + 1;
+    // The container flag byte self-describes its substream count: adopt it,
+    // so a decoder constructed with a different parts default cannot
+    // silently mis-partition decode_stream calls (the per-call symbol split
+    // must match the encoder's exactly).
+    parts_ = n_streams;
+    decoders_.assign(n_streams, StreamDecoder());
     const int per_header = (flag & 0x0f) == 1 ? 2 : 4;
     std::vector<uint32_t> sizes;
     int offset = 1;
@@ -341,7 +347,6 @@ class MultiDecoder {
     }
     sizes.push_back(size - offset - total);
     for (int i = 0; i < n_streams; ++i) {
-      if (i >= parts_) break;
       decoders_[i].set_stream(
           std::vector<uint8_t>(data + offset, data + offset + sizes[i]));
       offset += sizes[i];

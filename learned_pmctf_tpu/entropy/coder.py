@@ -116,7 +116,12 @@ class GaussianEncoder:
         self._offset = None
 
     def _cdf_fn(self, x, scales):
-        x = jnp.asarray(x, jnp.float64 if x.dtype == np.float64 else jnp.float32)
+        # f32 on purpose: the reference builds its tables from torch-f32
+        # CDFs (entropy_models.py:228-267) and the resulting quantized
+        # tables are golden-tested byte-for-byte; requesting f64 here
+        # (with x64 disabled) only produced a truncation warning.
+        x = jnp.asarray(x, jnp.float32)
+        scales = jnp.asarray(scales, jnp.float32)
         if self.distribution == "laplace":
             return np.asarray(laplace_cdf(x, scales))
         return np.asarray(gaussian_cdf(x, scales))

@@ -47,11 +47,22 @@ class LSTM2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, h, c):
-        xh = Conv2d(self.in_ch, self.hidden, 3, name="conv_in")(x) + \
-            Conv2d(self.hidden, self.hidden, 3, name="conv_hidden")(h)
+        # The 1-32ch convs at subband resolution underfill the MXU lanes;
+        # run the whole step in fold2 space (4x channels at half res,
+        # measured ~2x on the lstm conv shapes in benchmarks/layout_lab3).
+        # The gate math is elementwise, so it commutes with the fold
+        # permutation — the step is exact modulo float reassociation.
+        from ..ops.fold import fold2, unfold2, foldable
+        fold = foldable(x)
+        if fold:
+            x, h, c = fold2(x), fold2(h), fold2(c)
+        xh = Conv2d(self.in_ch, self.hidden, 3, name="conv_in")(x, folded=fold) + \
+            Conv2d(self.hidden, self.hidden, 3, name="conv_hidden")(h, folded=fold)
         gate = nn.sigmoid(xh)
         c = gate * c + gate * jnp.tanh(xh)
         h = nn.sigmoid(xh) * jnp.tanh(c)
+        if fold:
+            h, c = unfold2(h), unfold2(c)
         return h, c
 
 
@@ -129,6 +140,16 @@ class SubbandContext(nn.Module):
 # Autoregressive (PixelCNN) parameter predictor for the LL subband
 # --------------------------------------------------------------------------
 
+# Kernel size of every causal (masked) conv in the AR stack. The host
+# wavefront decoder (codec/image_codec.ar_wavefronts) derives its
+# anti-diagonal slope t = 2*row + col from this: a causal 3x3 conv can
+# reach at most ONE column to the right per row up. A larger masked
+# kernel would widen the dependency cone and silently desync the range
+# coder — the codec asserts on this constant before taking the
+# wavefront path, so the two must change in lockstep.
+AR_MASKED_KERNEL = 3
+
+
 class MaskResidual(nn.Module):
     """Two B-masked 3x3 convs with LeakyReLU(0.2) and a residual.
 
@@ -139,9 +160,11 @@ class MaskResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = MaskedConv2d(self.channels, self.channels, 3, "B", name="conv1")(x)
+        y = MaskedConv2d(self.channels, self.channels, AR_MASKED_KERNEL, "B",
+                         name="conv1")(x)
         y = nn.leaky_relu(y, negative_slope=0.2)
-        y = MaskedConv2d(self.channels, self.channels, 3, "B", name="conv2")(y)
+        y = MaskedConv2d(self.channels, self.channels, AR_MASKED_KERNEL, "B",
+                         name="conv2")(y)
         return y + x
 
 
@@ -164,10 +187,12 @@ class ContextFusionSubband(nn.Module):
     lower_subband: bool = True
 
     def setup(self):
-        self.masked_conv1 = MaskedConv2d(self.in_ch, self.features, 3, "A")
+        self.masked_conv1 = MaskedConv2d(self.in_ch, self.features,
+                                         AR_MASKED_KERNEL, "A")
         self.res_blocks = [MaskResidual(self.features)
                            for _ in range(self.residual_blocks)]
-        self.masked_conv2 = MaskedConv2d(self.features, self.features, 3, "B")
+        self.masked_conv2 = MaskedConv2d(self.features, self.features,
+                                         AR_MASKED_KERNEL, "B")
         self.head = [Conv2d(self.features, self.features, 1),
                      Conv2d(self.features, self.features, 1),
                      Conv2d(self.features, self.num_params, 1)]

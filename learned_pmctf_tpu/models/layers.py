@@ -34,10 +34,14 @@ _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 # activations stay bf16 between convs, halving the HBM traffic of the
 # full-resolution stacks (the compute was already bf16 on the MXU by
 # default precision; keeping f32 activations is what made earlier bf16
-# experiments a wash). Callers cast back to f32 at the net boundary.
-# The flag is read at TRACE time, so encoder and decoder traced under
-# the same policy produce bitwise-identical parameter planes (the
-# determinism requirement of SURVEY.md §7.3). Default None = full f32.
+# experiments a wash). The self-contained nets (PredictUpdate,
+# PostProcess, SpyNet's MEBasic) cast back to f32 at their return, so
+# enabling the policy never changes public output dtypes or coarsens
+# entropy-model means/scales; any NEW net traced under the policy must
+# do the same at its boundary. The flag is read at TRACE time, so
+# encoder and decoder traced under the same policy produce bitwise-
+# identical parameter planes (the determinism requirement of
+# SURVEY.md §7.3). Default None = full f32.
 # ---------------------------------------------------------------------------
 
 import contextlib
@@ -115,7 +119,11 @@ class Conv2d(nn.Module):
             kinit = self.kernel_init or _default_kernel_init
         w = self.param("kernel", kinit, shape)
         if folded:
-            assert self.stride == 1 and self.groups == 1 and kh == kw, self
+            # folded execution always computes 'same' padding — reject any
+            # caller that configured explicit padding and would silently
+            # get different semantics
+            assert (self.stride == 1 and self.groups == 1 and kh == kw
+                    and self.padding is None), self
             wf, pad = fold2_weights(w)
             y = conv2d_nchw(x, wf, 1, pad, 1)
             if self.use_bias:
@@ -188,7 +196,9 @@ class PredictUpdate(nn.Module):
         x = Conv2d(self.hidden, self.hidden, 3, name="conv3")(x, folded=fold)
         x = c1 + x
         y = Conv2d(self.hidden, self.in_ch, 3, name="conv4")(x, folded=fold)
-        return unfold2(y) if fold else y
+        if fold:
+            y = unfold2(y)
+        return y.astype(jnp.float32)  # net boundary: policy-safe dtype
 
 
 class ResBlock(nn.Module):

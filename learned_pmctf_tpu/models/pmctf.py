@@ -57,10 +57,11 @@ class PMCTF(nn.Module):
     # 65.6 ms -> 5.8 ms per 1080p warp on v5e; deterministic and
     # self-consistent, approximate only for horizontally rough motion
     # fields and |mv| > warp_max_disp). Both sides of the codec use the
-    # same mode, so streams stay decodable either way. Default 'fast':
-    # the exact gather warp was the single hottest op in the whole codec
-    # (~6 s of a 19 s GOP-16 at 1080p).
-    warp_mode: str = "fast"
+    # same mode, so streams stay decodable either way. Default 'exact'
+    # (reference semantics — required whenever reference checkpoints are
+    # imported for parity/BD-rate measurement); bench/eval configs opt
+    # into 'fast' explicitly where throughput matters.
+    warp_mode: str = "exact"
     warp_max_disp: int = 32
 
     def setup(self):

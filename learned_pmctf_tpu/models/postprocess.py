@@ -36,7 +36,9 @@ class PostProcess(nn.Module):
         t = Conv2d(self.channels, self.out_ch, 3, name="conv3")(t, folded=fold)
         if fold:
             t = unfold2(t)
-        return xin + t
+        # net boundary: cast so the conv_compute_dtype policy never leaks
+        # bf16 activations into the codec's f32 signal path
+        return xin + t.astype(jnp.float32)
 
 
 class PostProcessCtx(nn.Module):

@@ -35,7 +35,9 @@ class MEBasic(nn.Module):
         x = nn.relu(Conv2d(64, 32, 7, name="conv3")(x, folded=fold))
         x = nn.relu(Conv2d(32, 16, 7, name="conv4")(x, folded=fold))
         y = Conv2d(16, 2, 7, name="conv5")(x, folded=fold)
-        return unfold2(y) if fold else y
+        if fold:
+            y = unfold2(y)
+        return y.astype(jnp.float32)  # net boundary: policy-safe dtype
 
 
 class MESpynet(nn.Module):

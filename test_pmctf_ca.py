@@ -52,6 +52,7 @@ def parse_args(argv):
     p.add_argument("--ar_features", type=int, default=128)
     p.add_argument("--channel_mv", type=int, default=64)
     p.add_argument("--decomp_levels", type=int, default=4)
+    p.add_argument("--warp_mode", default="exact", choices=("exact", "fast"))
     return p.parse_args(argv)
 
 

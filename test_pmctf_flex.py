@@ -69,6 +69,10 @@ def parse_args(argv):
     p.add_argument("--ar_features", type=int, default=128)
     p.add_argument("--channel_mv", type=int, default=64)
     p.add_argument("--decomp_levels", type=int, default=4)
+    p.add_argument("--warp_mode", default="exact", choices=("exact", "fast"),
+                   help="temporal-lifting warp: 'exact' = reference bilinear "
+                        "semantics (use for parity/BD-rate), 'fast' = "
+                        "gather-free separable approximation (throughput)")
     args = p.parse_args(argv)
     if args.two_stage_me and args.num_me_stages < 2:
         args.num_me_stages = 2
@@ -86,7 +90,8 @@ def build_codec(args):
         decomp_levels=args.decomp_levels, lossy=not args.lossless,
         num_me_stages=args.num_me_stages, ll_mode=args.ll_mode,
         features=args.features, ar_features=args.ar_features,
-        channel_mv=args.channel_mv, channel_n=args.channel_mv)
+        channel_mv=args.channel_mv, channel_n=args.channel_mv,
+        warp_mode=args.warp_mode)
 
     if args.model_path and os.path.exists(args.model_path):
         params, _, _ = load_checkpoint(args.model_path)

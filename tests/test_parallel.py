@@ -52,6 +52,19 @@ def test_spatial_sharded_conv_matches_single_device():
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h), atol=1e-5)
 
 
+def test_dp_step_matches_single_device():
+    """Sharded data-parallel train step == unsharded step numerically
+    (slow: compiles a tiny GOP-2 step twice on the virtual CPU mesh)."""
+    if os.environ.get("PMCTF_SKIP_SLOW_TESTS"):
+        pytest.skip("slow test disabled")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tests", "dp_equiv_script.py")],
+        env=SANITIZED_CPU_ENV, capture_output=True, text=True, timeout=1800,
+        cwd=root)
+    assert "DP-EQUIV OK" in proc.stdout, proc.stdout + proc.stderr
+
+
 def test_dryrun_multichip_subprocess():
     """The driver-facing dryrun entry compiles and runs (slow; subprocess
     with a sanitized env so the axon TPU plugin is bypassed)."""

@@ -297,22 +297,108 @@ def test_qp_interpolation_parity(pair):
 
 
 def test_pwave_forward_parity(pair):
-    """Full image-coder forward: identical x_hat and estimated bits."""
+    """Full image-coder forward: identical x_hat and estimated bits,
+    across the variable-rate range (3 q_indices; q is a traced scalar)."""
     import torch
     tm, module, params = pair
     g = np.random.default_rng(11)
     x = g.integers(0, 256, (1, 1, 64, 64)).astype(np.float32)
+
+    for q_index in (0, 10, 20):
+        with torch.no_grad():
+            ref = tm.hp_coder(torch.tensor(x), q_index)
+        ours = module.apply(
+            params, jnp.asarray(x),
+            method=lambda m, a: m.hp_coder(a, jnp.float32(q_index),
+                                           training=False))
+        _close(ours["x_hat"], _np(ref["x_hat"]), tol=2e-3,
+               what=f"pwave_forward_x_hat[q{q_index}]")
+        bits_ref = float(_np(ref["bits_total"]))
+        bits_ours = float(ours["bits_total"])
+        assert abs(bits_ours - bits_ref) / max(bits_ref, 1.0) < 2e-3, (
+            q_index, bits_ours, bits_ref)
+
+
+def _stage_close(ours, ref_dict, tag, tol_planes, tol_bits):
+    """Compare the shared forward_one_stage outputs of both frameworks."""
+    for key in ("L_t", "H_t", "mv_hat"):
+        if key in ref_dict and ref_dict[key] is not None:
+            _close(ours[key], _np(ref_dict[key]), tol=tol_planes,
+                   what=f"{tag}[{key}]")
+    for key in ("bpp_H", "bpp_me", "bpp_L"):
+        if ref_dict.get(key) is None:
+            assert ours.get(key) is None, (tag, key)
+            continue
+        r = float(_np(ref_dict[key]))
+        o = float(ours[key])
+        assert abs(o - r) <= tol_bits * max(abs(r), 1e-2), (tag, key, o, r)
+
+
+def test_pmctf_forward_one_stage_parity(pair):
+    """Full video-coder stage: luma with empty DPB (adaptor_0 branch),
+    luma with populated DPB (adaptor_1 branch), and chroma reusing halved
+    MVs — the three call modes of the eval loop. ref: pMCTF_L.py:332-379.
+    """
+    import torch
+    tm, module, params = pair
+    g = np.random.default_rng(12)
+    h = w = 64
+    ref_y = g.integers(0, 256, (1, 1, h, w)).astype(np.float32)
+    cur_y = (ref_y + g.normal(0, 8, ref_y.shape)).clip(0, 255).astype(
+        np.float32)
     q_index = 10
 
+    def run_torch(dpb_t, mv=None, code_lt=False):
+        with torch.no_grad():
+            return tm.forward_one_stage(
+                torch.tensor(ref_y), torch.tensor(cur_y), q_index,
+                code_lt, dpb_t, mv_hat=mv, stage_idx=0)
+
+    def run_ours(dpb_j, mv=None, code_lt=False):
+        return module.apply(
+            params, jnp.asarray(ref_y), jnp.asarray(cur_y),
+            jnp.float32(q_index), code_lt, dpb_j, mv_hat=mv, stage_idx=0,
+            training=False)
+
+    # 1) first pair of a stage: empty DPB -> adaptor_0 branch, code_lt
+    empty_t = {"mv_feature": None, "ref_mv_y": None}
+    ref1 = run_torch(dict(empty_t), code_lt=True)
+    ours1 = run_ours(dict(empty_t), code_lt=True)
+    _stage_close(ours1, ref1, "stage0", tol_planes=5e-3, tol_bits=5e-3)
+    assert ref1.get("me_mse_inv") is not None
+    _close(float(ours1["me_mse"]), float(_np(ref1["me_mse"])), tol=1e-2,
+           what="stage0[me_mse]")
+
+    # 2) second pair: populated DPB -> adaptor_1 branch + MvEnc context
+    dpb_t = {k: v for k, v in ref1["dpb"].items()}
+    dpb_j = {k: (None if ours1["dpb"][k] is None else ours1["dpb"][k])
+             for k in ours1["dpb"]}
+    ref2 = run_torch(dpb_t)
+    ours2 = run_ours(dpb_j)
+    _stage_close(ours2, ref2, "stage0_dpb", tol_planes=5e-3, tol_bits=5e-3)
+
+    # 3) chroma pass: halved luma MVs, batch 2, no MV bits
+    ref_c = g.integers(0, 256, (2, 1, h // 2, w // 2)).astype(np.float32)
+    cur_c = (ref_c + g.normal(0, 8, ref_c.shape)).clip(0, 255).astype(
+        np.float32)
     with torch.no_grad():
-        ref = tm.hp_coder(torch.tensor(x), q_index)
-    ours = module.apply(
-        params, jnp.asarray(x),
-        method=lambda m, a: m.hp_coder(a, jnp.float32(q_index),
-                                       training=False))
-    _close(ours["x_hat"], _np(ref["x_hat"]), tol=2e-3,
-           what="pwave_forward_x_hat")
-    bits_ref = float(_np(ref["bits_total"]))
-    bits_ours = float(ours["bits_total"])
-    assert abs(bits_ours - bits_ref) / max(bits_ref, 1.0) < 2e-3, (
-        bits_ours, bits_ref)
+        ref3 = tm.forward_one_stage(
+            torch.tensor(ref_c), torch.tensor(cur_c), q_index, False,
+            dict(empty_t), mv_hat=ref1["mv_hat"], stage_idx=0)
+    ours3 = module.apply(
+        params, jnp.asarray(ref_c), jnp.asarray(cur_c),
+        jnp.float32(q_index), False, dict(empty_t),
+        mv_hat=ours1["mv_hat"], stage_idx=0, training=False)
+    _stage_close(ours3, ref3, "stage0_chroma", tol_planes=5e-3,
+                 tol_bits=5e-3)
+    assert ours3["bpp_me"] is None and ref3["bpp_me"] is None
+
+    # 4) inverse MCTF closes the temporal loop
+    with torch.no_grad():
+        rec_ref = tm.inverse_MCTF(ref1["L_t"], ref1["H_t"], ref1["mv_hat"],
+                                  stage_idx=0)
+    rec_ours = module.apply(
+        params, ours1["L_t"], ours1["H_t"], ours1["mv_hat"], 0,
+        method=lambda m, l, hh, mv, s: m.inverse_mctf(l, hh, mv, s))
+    _close(rec_ours[0], _np(rec_ref[0]), tol=1e-2, what="inverse[ref]")
+    _close(rec_ours[1], _np(rec_ref[1]), tol=1e-2, what="inverse[cur]")

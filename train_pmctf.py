@@ -39,7 +39,16 @@ def parse_args(argv):
     p.add_argument("--lossless", action="store_true")
     p.add_argument("--num_me_stages", default=2, type=int)
     p.add_argument("--ll_mode", default="fourstep", choices=("fourstep", "ar"))
+    p.add_argument("--warp_mode", default="fast", choices=("exact", "fast"),
+                   help="'fast' trains a self-consistent gather-free-warp "
+                        "model; use 'exact' for reference-semantics parity")
     p.add_argument("--steps_per_epoch", type=int, default=-1)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the batch over this many devices (0 = all "
+                        "visible devices if >1, else single-device); the "
+                        "jitted GOP step is pure SPMD, so XLA inserts the "
+                        "gradient all-reduce over ICI "
+                        "(tests/dp_equiv_script.py asserts equivalence)")
     return p.parse_args(argv)
 
 
@@ -64,6 +73,21 @@ def main(argv):
     cfg = CurriculumConfig.from_json(args.config)
     rng = np.random.default_rng(args.seed)
 
+    # data parallelism: replicate params, shard the batch axis over the
+    # mesh 'data' axis; the step compiles once and XLA SPMD adds the
+    # gradient psum over ICI (SURVEY.md §2.6 item 1)
+    n_dp = args.data_parallel or (
+        jax.device_count() if jax.device_count() > 1 else 0)
+    if n_dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from learned_pmctf_tpu.parallel import make_mesh
+        assert args.batch_size % n_dp == 0, (args.batch_size, n_dp)
+        dp_mesh = make_mesh(n_dp, spatial=1)
+        dp_repl = NamedSharding(dp_mesh, P())
+        dp_frames = NamedSharding(dp_mesh, P(None, "data"))
+    else:
+        dp_mesh = None
+
     exp_path = osp.join("experiments", f"pmctf_BS{args.batch_size}{args.exp_postfix}")
     os.makedirs(exp_path, exist_ok=True)
     logger = get_root_logger(
@@ -71,7 +95,8 @@ def main(argv):
     logger.info(get_env_info())
 
     module = PMCTF(lossy=not args.lossless, num_me_stages=args.num_me_stages,
-                   ll_mode=args.ll_mode, quant_stage=False)
+                   ll_mode=args.ll_mode, quant_stage=False,
+                   warp_mode=args.warp_mode)
 
     # init (touch all stages)
     g0 = jnp.zeros((args.batch_size, 1, *args.patchsize), jnp.float32)
@@ -139,7 +164,10 @@ def main(argv):
             dataset.update_interval(cfg.frame_interval[stage_num], logger)
         if stage_num >= 4 and part == "All":
             dataset.use_random_interval()
-        if stage_num == 5 and part == "All" and not quant_stage_enabled:
+        # >= so a resume that jumps PAST the transition stage (e.g.
+        # --start_stage 7) still enables the temporal-layer quality
+        # scaling that stage 6 would have switched on
+        if stage_num >= 5 and part == "All" and not quant_stage_enabled:
             logger.info("ENABLE TEMPORAL LAYER ADAPTIVE QUALITY SCALING")
             # flax Modules are frozen dataclasses: clone(), not replace()
             # (hp_q_scale params exist in the tree regardless of the flag,
@@ -171,7 +199,14 @@ def main(argv):
                     f"lr={cfg.lr[stage_num]} gates={gates}")
         return params, opt_state, step_fn
 
+    def place_dp(params, opt_state):
+        if dp_mesh is not None:
+            params = jax.device_put(params, dp_repl)
+            opt_state = jax.device_put(opt_state, dp_repl)
+        return params, opt_state
+
     params, opt_state, step_fn = configure_stage(stage_num, params)
+    params, opt_state = place_dp(params, opt_state)
 
     noise_key = jax.random.PRNGKey(args.seed + 7)
     global_step = 0
@@ -180,6 +215,7 @@ def main(argv):
             epochs_cur_stage = 0
             stage_num += 1
             params, opt_state, step_fn = configure_stage(stage_num, params)
+            params, opt_state = place_dp(params, opt_state)
 
         num_frames = cfg.num_frames[stage_num]
         max_interval = cfg.frame_interval[stage_num]
@@ -200,6 +236,8 @@ def main(argv):
             global_step += 1
             # frames arrive as tuple of (B,3,ph,pw); train on Y only
             frames = jnp.stack([jnp.asarray(f)[:, 0:1] for f in batch])
+            if dp_mesh is not None:
+                frames = jax.device_put(frames, dp_frames)
             q_index = int(rng.integers(0, qp_num))
             lmbda = get_cur_lambda(cfg.train_lambda, q_index, qp_num)
             if random_interval:
