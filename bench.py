@@ -36,7 +36,11 @@ def main():
 
     enable_compilation_cache()
 
-    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep", warp_mode="fast")
+    # act_bf16: conv activations stay bf16 between convs (HBM halving on
+    # the full-res stacks; measured -12% on the luma pair) — signal path
+    # and entropy-parameter heads are f32 by construction (layers.policy_scope)
+    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep",
+                   warp_mode="fast", act_bf16=True)
     g = np.random.default_rng(0)
 
     # init at small spatial size (params are shape-agnostic)
@@ -72,17 +76,32 @@ def main():
 
     jit_luma = {}
     jit_chroma = {}
-    jit_inv = {}
+    jit_inv_stage = {}
     for st in range(num_stages):
         for lt in (False, True):
             jit_luma[(st, lt)] = jax.jit(
                 lambda p, r, c, d, s=st, l=lt: luma_fn(p, r, c, d, l, s))
             jit_chroma[(st, lt)] = jax.jit(
                 lambda p, r, c, mv, s=st, l=lt: chroma_fn(p, r, c, mv, l, s))
-        jit_inv[(st, False)] = jax.jit(
-            lambda p, l, hh, mv, s=st: inv_fn(p, l, hh, mv, s, False))
-        jit_inv[(st, True)] = jax.jit(
-            lambda p, l, hh, mv, s=st: inv_fn(p, l, hh, mv, s, True))
+
+    # Inverse: all pairs of a temporal stage are independent; ONE program
+    # per stage interleaves their (latency-bound) warp/filter chains —
+    # measured 117 -> 50 ms per pair (benchmarks/profile_r3b.py).
+    def make_inv_stage(stage, n_pairs):
+        def fn(p, ls, hs, lcs, hcs, mvs):
+            outs = []
+            for i in range(n_pairs):
+                ry, cy = inv_fn(p, ls[i], hs[i], mvs[i], stage, False)
+                rc, cc = inv_fn(p, lcs[i], hcs[i], mvs[i], stage, True)
+                outs.append((ry, cy, rc, cc))
+            return outs
+        return jax.jit(fn)
+
+    pairs = 1
+    for stage in reversed(range(num_stages)):
+        st = min(stage, module.num_me_stages - 1)
+        jit_inv_stage[stage] = make_inv_stage(st, pairs)
+        pairs *= 2
 
     def code_gop():
         """One full GOP encode+decode; returns a control scalar whose host
@@ -107,17 +126,19 @@ def main():
                 fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
                 mvs[fi + step] = out["mv_hat"]
             pairs //= 2
-        # temporal decode
+        # temporal decode: one program per stage covering all its pairs
         pairs = 1
         for stage in reversed(range(num_stages)):
-            st = min(stage, module.num_me_stages - 1)
-            for gi in reversed(range(pairs)):
-                step = 2 ** stage
-                fi = gi * 2 * step
-                fl[fi], fl[fi + step] = jit_inv[(st, False)](
-                    params, fl[fi], fl[fi + step], mvs[fi + step])
-                fc[fi], fc[fi + step] = jit_inv[(st, True)](
-                    params, fc[fi], fc[fi + step], mvs[fi + step])
+            step = 2 ** stage
+            fidxs = [gi * 2 * step for gi in reversed(range(pairs))]
+            outs = jit_inv_stage[stage](
+                params,
+                [fl[fi] for fi in fidxs], [fl[fi + step] for fi in fidxs],
+                [fc[fi] for fi in fidxs], [fc[fi + step] for fi in fidxs],
+                [mvs[fi + step] for fi in fidxs])
+            for (ry, cy, rc, cc), fi in zip(outs, fidxs):
+                fl[fi], fl[fi + step] = ry, cy
+                fc[fi], fc[fi + step] = rc, cc
             pairs *= 2
         control = sum(jnp.sum(f) for f in fl) + sum(jnp.sum(f) for f in fc)
         return control

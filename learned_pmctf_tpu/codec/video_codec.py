@@ -377,3 +377,80 @@ class PMCTFCodec:
                 p, l, h, mv, stage_idx, downscale,
                 method=PMCTF.inverse_mctf))
         return fn(self.params, l_t, h_t, mv_hat)
+
+    # ---- q-batched eval (SURVEY §2.6: eval parallelism over q-indices) -------
+    #
+    # q_index is a traced scalar, so a whole RD sweep vmaps over a leading
+    # Q axis: ONE compiled program per (stage, shape) serves all rate
+    # points instead of re-running the sequence per q. fold2 execution is
+    # disabled under vmap (its 6-D intermediates get pathological layouts
+    # with a mapped axis, the r2-measured OOM); use warp_mode='exact' at
+    # 1080p for the same reason.
+
+    def _jit_vmapped(self, key, one_fn):
+        from ..ops.fold import fold_small_convs
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                jax.vmap(one_fn, in_axes=(None, 0, 0, 0, 0)))
+        jfn = self._jits[key]
+
+        def call(*args):
+            with fold_small_convs(False):  # trace happens on first call
+                return jfn(*args)
+        return call
+
+    def estimate_one_stage_multi(self, ref_frame, cur_frame, code_lt: bool,
+                                 dpb, q_indices, stage_idx: int = 0):
+        """estimate_one_stage over a q batch.
+
+        ref_frame/cur_frame: (y, chroma) with leading Q axis
+        ((Q,B,1,H,W)); dpb leaves (Q,...) or None; q_indices (Q,).
+        Returns the estimate_one_stage dict with (Q,)-shaped rate entries.
+        """
+        ref_y, ref_chroma = ref_frame
+        cur_y, cur_chroma = cur_frame
+        q_vec = jnp.asarray(q_indices, jnp.float32)
+
+        luma = self._jit_vmapped(
+            ("est_luma_q", stage_idx, code_lt, ref_y.shape,
+             dpb["mv_feature"] is None, dpb.get("ref_mv_y") is None),
+            lambda p, r, c, d, q: self.module.apply(
+                p, r, c, q, code_lt, d, stage_idx=stage_idx,
+                training=False))
+        result = luma(self.params, ref_y, cur_y, dpb, q_vec)
+
+        dpb0 = {"mv_feature": None, "ref_mv_y": None}
+        chroma = self._jit_vmapped(
+            ("est_chroma_q", stage_idx, code_lt, ref_chroma.shape),
+            lambda p, r, c, mv, q: self.module.apply(
+                p, r, c, q, code_lt, dpb0, mv_hat=mv,
+                stage_idx=stage_idx, training=False))
+        result_c = chroma(self.params, ref_chroma, cur_chroma,
+                          result["mv_hat"], q_vec)
+
+        def arr(x):
+            return None if x is None else np.asarray(x)
+
+        return {
+            "L_t": result["L_t"],
+            "H_t": result["H_t"],
+            "L_tc": result_c["L_t"],
+            "H_tc": result_c["H_t"],
+            "bit_L": arr(result.get("bit_L")) + arr(result_c.get("bit_L"))
+                     if code_lt else None,
+            "bit_H": arr(result["bit_H"]) + arr(result_c["bit_H"]),
+            "bit_ME": arr(result["bit_ME"]),
+            "mv_hat": result["mv_hat"],
+            "dpb": result["dpb"],
+        }
+
+    def inverse_mctf_multi(self, l_t, h_t, mv_hat, stage_idx: int = 0,
+                           downscale: bool = False):
+        """inverse_mctf with a leading Q axis on every input."""
+        fn = self._jit_vmapped(
+            ("inv_mctf_q", stage_idx, downscale, l_t.shape),
+            lambda p, l, h, mv, _q: self.module.apply(
+                p, l, h, mv, stage_idx, downscale,
+                method=PMCTF.inverse_mctf))
+        qz = jnp.zeros((l_t.shape[0],), jnp.float32)
+        return fn(self.params, l_t, h_t, mv_hat, qz)

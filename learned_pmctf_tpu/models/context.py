@@ -58,8 +58,12 @@ class LSTM2D(nn.Module):
             x, h, c = fold2(x), fold2(h), fold2(c)
         xh = Conv2d(self.in_ch, self.hidden, 3, name="conv_in")(x, folded=fold) + \
             Conv2d(self.hidden, self.hidden, 3, name="conv_hidden")(h, folded=fold)
+        # gate math in f32: under the bf16 activation policy the convs
+        # return bf16, but the carried (h, c) states feed the entropy
+        # parameter nets across all 13 subbands — keep them full precision
+        xh = xh.astype(jnp.float32)
         gate = nn.sigmoid(xh)
-        c = gate * c + gate * jnp.tanh(xh)
+        c = gate * c.astype(jnp.float32) + gate * jnp.tanh(xh)
         h = nn.sigmoid(xh) * jnp.tanh(c)
         if fold:
             h, c = unfold2(h), unfold2(c)
@@ -224,7 +228,9 @@ class ContextFusionSubband(nn.Module):
             y = conv(y)
             if i < len(self.head) - 1:
                 y = nn.leaky_relu(y, negative_slope=0.2)
-        return y  # (B, num_params, H, W) -> chunk into scales, means
+        # entropy params leave at f32 regardless of the activation policy
+        # (bf16 ulp would coarsen means/scales -> symbol granularity)
+        return y.astype(jnp.float32)  # (B, num_params, H, W) -> scales, means
 
 
 # --------------------------------------------------------------------------
@@ -305,7 +311,8 @@ class ContextFusionFourStep(nn.Module):
         else:
             feat = None
             params = self.hier_out(jnp.zeros_like(like))
-        scales, means = jnp.split(params, 2, axis=1)
+        # f32 heads: see ContextFusionSubband.__call__
+        scales, means = jnp.split(params.astype(jnp.float32), 2, axis=1)
         return feat, scales, means
 
     def spatial_params(self, x_hat_so_far, ctx_feat, step: int):
@@ -314,7 +321,7 @@ class ContextFusionFourStep(nn.Module):
         if ctx_feat is not None:
             y = y + ctx_feat
         params = self.spatial_out[step](y)
-        scales, means = jnp.split(params, 2, axis=1)
+        scales, means = jnp.split(params.astype(jnp.float32), 2, axis=1)
         return scales, means
 
     # -- full passes ----------------------------------------------------------

@@ -56,7 +56,9 @@ class MvEnc(nn.Module):
             out = self.adaptor_0(out)
         else:
             out = self.adaptor_1(jnp.concatenate([out, context], axis=1))
-        return self.enc_3_c(self.enc_3_b(self.enc_3_a(out)))
+        # net boundary: the latent is quantized downstream — keep it f32
+        # under the bf16 activation policy
+        return self.enc_3_c(self.enc_3_b(self.enc_3_a(out))).astype(jnp.float32)
 
 
 class MvDec(nn.Module):
@@ -86,7 +88,10 @@ class MvDec(nn.Module):
         feature = self.dec_1(x)
         out = self.dec_2(feature)
         out = out * quant_step
-        return self.dec_3(out), feature
+        # net boundary (policy-safe dtypes): mv drives the warp; feature
+        # enters the DPB
+        return (self.dec_3(out).astype(jnp.float32),
+                feature.astype(jnp.float32))
 
 
 class HyperEncoder(nn.Module):
@@ -100,7 +105,9 @@ class HyperEncoder(nn.Module):
         x = DepthConvBlock4(self.channels_in, self.channels_n)(x)
         x = Conv2d(self.channels_n, self.channels_n, 3, stride=2)(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
-        return Conv2d(self.channels_n, self.channels_n, 3, stride=2)(x)
+        # net boundary: z is rounded to symbols — f32 under the policy
+        return Conv2d(self.channels_n, self.channels_n, 3,
+                      stride=2)(x).astype(jnp.float32)
 
 
 class HyperDecoder(nn.Module):
@@ -113,7 +120,8 @@ class HyperDecoder(nn.Module):
     def __call__(self, x):
         x = ResidualBlockUpsample(self.channels_n, self.channels_n, 2)(x)
         x = ResidualBlockUpsample(self.channels_n, self.channels_n, 2)(x)
-        return DepthConvBlock4(self.channels_n, self.channels_out)(x)
+        return DepthConvBlock4(self.channels_n,
+                               self.channels_out)(x).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +200,8 @@ def four_part_prior_forward(
         y_hat_so_far = y_hat_curr if y_hat_so_far is None else y_hat_so_far + y_hat_curr
         if step < 3:
             inp = jnp.concatenate([y_hat_so_far, common_params], axis=1)
-            out = spatial_prior(adaptors[step](inp))
+            # f32 head: scales/means drive symbol quantization
+            out = spatial_prior(adaptors[step](inp)).astype(jnp.float32)
             chunks = jnp.split(out, 8, axis=1)
             scales_q, means_q = chunks[:4], chunks[4:]
 

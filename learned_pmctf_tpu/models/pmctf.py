@@ -23,7 +23,7 @@ from ..ops.warp import flow_warp, flow_warp_fast
 from ..ops.quant import ste_round
 from ..entropy.distributions import laplace_bits
 from ..entropy.bit_estimator import BitEstimator
-from .layers import Conv2d, DepthConvBlock
+from .layers import Conv2d, DepthConvBlock, policy_scope
 from .spynet import MESpynet
 from .mv_coder import (
     MvEnc,
@@ -63,6 +63,9 @@ class PMCTF(nn.Module):
     # into 'fast' explicitly where throughput matters.
     warp_mode: str = "exact"
     warp_max_disp: int = 32
+    # trace all conv stacks with bf16 activations (layers.policy_scope);
+    # propagated to both pWave sub-coders
+    act_bf16: bool = False
 
     def setup(self):
         self.dynamic_range = float(2 ** self.bitdepth - 1)  # 255 (ref: pMCTF_L.py:46)
@@ -71,10 +74,12 @@ class PMCTF(nn.Module):
 
         self.lp_coder = PWave(self.bitdepth, self.decomp_levels, self.lossy,
                               ll_mode=self.ll_mode, features=self.features,
-                              ar_features=self.ar_features)
+                              ar_features=self.ar_features,
+                              act_bf16=self.act_bf16)
         self.hp_coder = PWave(self.bitdepth, self.decomp_levels, self.lossy,
                               ll_mode=self.ll_mode, features=self.features,
-                              ar_features=self.ar_features)
+                              ar_features=self.ar_features,
+                              act_bf16=self.act_bf16)
 
         self.optic_flow = MESpynet(levels=self.spynet_levels,
                                    luma_mode=self.spynet_luma)
@@ -141,7 +146,8 @@ class PMCTF(nn.Module):
         else:
             mv_params = jnp.concatenate([mv_params, ref_mv_y], axis=1)
             mv_params = self.mv_prior_fusion_adaptor_1[me_num](mv_params)
-        return self.mv_prior_fusion[me_num](mv_params)
+        # f32 head: quant-step/scales/means are split from this
+        return self.mv_prior_fusion[me_num](mv_params).astype(jnp.float32)
 
     def _me_input(self, frame):
         """Normalized ME input from the (B,1,H,W) Y plane.
@@ -154,6 +160,7 @@ class PMCTF(nn.Module):
 
     # ---- motion ---------------------------------------------------------------
 
+    @policy_scope
     def compute_and_code_motion(self, ref_frame, cur_frame, q_index, dpb,
                                 stage_idx: int = 0, me_downsample: int = 1,
                                 training: bool = True):
@@ -218,6 +225,7 @@ class PMCTF(nn.Module):
             return flow_warp_fast(x, mv, self.warp_max_disp)
         return flow_warp(x, mv)
 
+    @policy_scope
     def forward_mctf(self, ref_frame, cur_frame, mv_hat, stage_idx: int = 0):
         """H_t = cur - P(warp(ref, mv)); L_t = ref + U(warp(H_t, -mv)).
 
@@ -237,6 +245,7 @@ class PMCTF(nn.Module):
         l_t = ref_frame + inv_pred
         return l_t, h_t, pred, inv_pred
 
+    @policy_scope
     def inverse_mctf(self, l_t, h_t, mv_hat, stage_idx: int = 0,
                      downscale: bool = False):
         """Inverse temporal lifting. ref: pMCTF_L.py:314-330."""
@@ -265,6 +274,7 @@ class PMCTF(nn.Module):
                                       dpb, mv_hat, stage_idx, me_downsample,
                                       training)
 
+    @policy_scope
     def forward_one_stage(self, ref_frame, cur_frame, q_index, code_lt: bool,
                           dpb, mv_hat=None, stage_idx: int = 0,
                           me_downsample: int = 1, training: bool = True):
@@ -341,6 +351,7 @@ class PMCTF(nn.Module):
 
     # ---- jittable sub-graphs for the host bitstream path -------------------------
 
+    @policy_scope
     def mv_compress_planes(self, ref_y, cur_y, dpb, stage_idx: int, q_index,
                            me_downsample: int = 1):
         """One-pass MV encode: all symbol/scale planes + decoded motion.
@@ -380,6 +391,7 @@ class PMCTF(nn.Module):
             "mv_feature": mv_feature,
         }
 
+    @policy_scope
     def mv_prior_params(self, mv_z_hat, dpb, stage_idx: int):
         me_num = self.me_index(stage_idx)
         return self.mv_prior_param_decoder(mv_z_hat, dpb, me_num)
@@ -389,14 +401,16 @@ class PMCTF(nn.Module):
         _, q_dec, scales, means = separate_prior_enc_dec(mv_params)
         return q_dec, jnp.split(scales, 4, axis=1), jnp.split(means, 4, axis=1)
 
+    @policy_scope
     def mv_decode_spatial(self, y_hat_so_far, mv_params, stage_idx: int, step: int):
         me_num = self.me_index(stage_idx)
         inp = jnp.concatenate([y_hat_so_far, mv_params], axis=1)
         out = self.mv_spatial_prior[me_num](
-            self.mv_spatial_adaptors[me_num][step](inp))
+            self.mv_spatial_adaptors[me_num][step](inp)).astype(jnp.float32)
         chunks = jnp.split(out, 8, axis=1)
         return chunks[:4], chunks[4:]
 
+    @policy_scope
     def mv_decode_tail(self, mv_y_hat, stage_idx: int, q_index,
                        me_downsample: int = 1):
         me_num = self.me_index(stage_idx)

@@ -28,6 +28,7 @@ from ..entropy.coder import build_indexes_from_scales
 from .wavelet import LiftingScheme2D
 from .postprocess import PostProcess
 from .context import SubbandContext, ContextFusionSubband, ContextFusionFourStep
+from .layers import policy_scope
 
 QP_NUM = 21  # rate points; ref: pMCTF/models/pWave.py:227-229
 BANDS = ("lh", "hl", "hh")
@@ -53,6 +54,8 @@ class PWave(nn.Module):
     ll_mode: str = "fourstep"  # 'fourstep' (TPU-native) | 'ar' (reference parity)
     features: int = 112
     ar_features: int = 128
+    # trace conv stacks with bf16 activations (see layers.policy_scope)
+    act_bf16: bool = False
 
     def setup(self):
         self.dynamic_range = float(2 ** self.bitdepth)
@@ -138,6 +141,7 @@ class PWave(nn.Module):
 
     # ---- training / estimation forward --------------------------------------
 
+    @policy_scope
     def __call__(self, x, q_index=None, qp_scale=None, training: bool = True):
         """Full forward with entropy-estimated rate (no bitstream).
 
@@ -202,6 +206,7 @@ class PWave(nn.Module):
             "mse": jnp.mean((x - x_hat) ** 2),
         }
 
+    @policy_scope
     def spatial_wavelet_dec(self, x, q_index=None, qp_scale=None):
         """Fast approximation skipping entropy modeling (means ignored).
 
@@ -221,6 +226,7 @@ class PWave(nn.Module):
 
     # ---- jittable sub-graphs for the host coding loops -----------------------
 
+    @policy_scope
     def encode_planes(self, x, q_index=None, qp_scale=None):
         """One-pass teacher-forced encode: everything the host needs to
         write the bitstream for one image, in a single device program.
@@ -311,24 +317,29 @@ class PWave(nn.Module):
         b, _, h, w = like.shape
         return self.context_prediction.init_states(b, h, w, like.dtype)
 
+    @policy_scope
     def ctx_step(self, subband, states, upsample_level: Optional[int]):
         return self.context_prediction.step(subband, states, upsample_level)
 
+    @policy_scope
     def fusion_hier(self, key: str, context, prev_subband, like):
         module = self.context_fusion[key]
         if isinstance(module, ContextFusionFourStep):
             return module.hier_params(context, prev_subband, like=like)
         raise TypeError("fusion_hier is only defined for four-step models")
 
+    @policy_scope
     def fusion_spatial(self, key: str, x_hat_so_far, ctx_feat, step: int):
         return self.context_fusion[key].spatial_params(x_hat_so_far, ctx_feat, step)
 
+    @policy_scope
     def ar_params(self, partial_rec):
         """AR model parameters on a partial reconstruction (decode loop)."""
         params = self.context_fusion["ll"](partial_rec)
         scales, means = jnp.split(params, 2, axis=1)
         return scales, means
 
+    @policy_scope
     def reconstruct(self, subbands_hat, q_index=None, qp_scale=None):
         """Dequantize + synthesis + postprocess (decode tail)."""
         q_scale, q_scale_ll = self.current_q(q_index, qp_scale)

@@ -52,11 +52,13 @@ class LearnedLifting1D(nn.Module):
         self.dynamic_range = float(2 ** self.bitdepth)
 
         def skip(name, taps):
-            # depthwise 3x1 conv, weights initialized to the wavelet taps
+            # depthwise 3x1 conv, weights initialized to the wavelet taps;
+            # policy_exempt: carries the full-magnitude signal -> stays f32
+            # even under the bf16 activation policy
             w = [[[[t] for t in taps]]] * self.in_ch  # (C,1,3,1)
             return Conv2d(self.in_ch, self.in_ch, (3, 1), padding=0,
                           groups=self.in_ch, init_weights=tuple(map(tuple, w)),
-                          name=name)
+                          policy_exempt=True, name=name)
 
         self.conv_p1 = skip("conv_p1", (0.0, c[0], c[0]))
         self.conv_u1 = skip("conv_u1", (c[1], c[1], 0.0))

@@ -73,6 +73,11 @@ def parse_args(argv):
                    help="temporal-lifting warp: 'exact' = reference bilinear "
                         "semantics (use for parity/BD-rate), 'fast' = "
                         "gather-free separable approximation (throughput)")
+    p.add_argument("--q_batch", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="code ALL q-indices in one vmapped batch (estimate "
+                        "path only): the sequence is read and coded once, "
+                        "with a leading Q axis over rate points")
     args = p.parse_args(argv)
     if args.two_stage_me and args.num_me_stages < 2:
         args.num_me_stages = 2
@@ -297,6 +302,157 @@ def run_test(codec, args, logger=print):
     return log
 
 
+def run_test_qbatch(codec, args, q_list, logger=print):
+    """Estimate-path eval with ALL q-indices coded in one vmapped batch.
+
+    q_index is a traced scalar (SURVEY §7.1), so the whole RD sweep runs
+    as ONE program set with a leading Q axis — eval parallelism over
+    rate points (SURVEY §2.6 item 2). Returns {q_idx: log} like repeated
+    run_test calls but reading and coding the sequence once.
+    """
+    import jax.numpy as jnp
+    from learned_pmctf_tpu.utils.metrics import psnr as jpsnr, ms_ssim
+    from learned_pmctf_tpu.ops.color import ycbcr_to_rgb, yuv420_to_444
+
+    Q = len(q_list)
+    frame_num_eval = args["frame_num"]
+    gop_size = args["gop_size"]
+    num_stages = max(1, int(math.log2(gop_size)))
+    assert 2 ** num_stages == gop_size, gop_size
+    frame_num = frame_num_eval
+    if frame_num_eval % gop_size:
+        frame_num += gop_size - frame_num_eval % gop_size
+    gop_num = frame_num // gop_size
+
+    synthetic = args.get("synthetic", 0)
+    if synthetic:
+        h, w = args["src_height"], args["src_width"]
+        rng = np.random.default_rng(0)
+
+        def read_frame(i):
+            return (rng.integers(0, 256, (h, w)).astype(np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+    else:
+        start_frame = (args["frame_num_seq"] - frame_num) \
+            if args.get("last_frames") else 0
+        reader = YUVReader(args["vid_path"], args["src_width"],
+                           args["src_height"], start_index=start_frame)
+
+        def read_frame(i):
+            return reader.read_one_frame()
+
+    frame_types = [None] * frame_num
+    per_q = {q: {"psnrs": [0.0] * frame_num, "rgb": [0.0] * frame_num,
+                 "msssim": [0.0] * frame_num, "bits": [0.0] * frame_num,
+                 "bpp_mv": [0.0] * frame_num} for q in q_list}
+    frame_pixel_num = args["src_height"] * args["src_width"]
+    psize = 128
+    pl, pr, pt, pb = get_padding_size(args["src_height"], args["src_width"],
+                                      p=psize)
+    start_time = time.time()
+    frame_counter = 0
+    for gop_idx in range(gop_num):
+        frames = [None] * gop_size
+        frames_orig = [None] * gop_size
+        mvs = [None] * gop_size
+        for i in range(gop_size):
+            y, cb, cr = read_frame(frame_counter)
+            frame_counter += 1
+            y = jnp.asarray(y, jnp.float32)[None, None]
+            chroma = jnp.stack([jnp.asarray(cb, jnp.float32),
+                                jnp.asarray(cr, jnp.float32)])[:, None]
+            frames_orig[i] = (y, chroma)
+            y_p = jnp.pad(y, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+            c_p = jnp.pad(chroma, ((0, 0), (0, 0), (pt // 2, pb // 2),
+                                   (pl // 2, pr // 2)))
+            # leading Q axis: same source frame at every rate point
+            frames[i] = (jnp.tile(y_p[None], (Q, 1, 1, 1, 1)),
+                         jnp.tile(c_p[None], (Q, 1, 1, 1, 1)))
+
+        num_pairs = gop_size // 2
+        for stage_idx in range(num_stages):
+            dpb = {"mv_feature": None, "ref_mv_y": None}
+            for gi in range(num_pairs):
+                step = 2 ** stage_idx
+                fi = gi * 2 * step
+                code_lt = (stage_idx + 1) == num_stages
+                me_num = min(codec.module.num_me_stages - 1, stage_idx)
+                frame_idx = gop_idx * gop_size + fi
+                result = codec.estimate_one_stage_multi(
+                    frames[fi], frames[fi + step], code_lt, dpb,
+                    q_list, stage_idx=me_num)
+                dpb = result["dpb"]
+                frames[fi] = (result["L_t"], result["L_tc"])
+                frames[fi + step] = (result["H_t"], result["H_tc"])
+                mvs[fi + step] = result["mv_hat"]
+                frame_types[frame_idx + step] = 1
+                for qi, q in enumerate(q_list):
+                    st = per_q[q]
+                    st["bits"][frame_idx + step] = float(
+                        result["bit_H"][qi] + result["bit_ME"][qi])
+                    st["bpp_mv"][frame_idx + step] = float(
+                        result["bit_ME"][qi]) / frame_pixel_num
+                    if code_lt:
+                        st["bits"][frame_idx] = float(result["bit_L"][qi])
+                if code_lt:
+                    frame_types[frame_idx] = 0
+            num_pairs //= 2
+
+        num_pairs = 1
+        for stage_idx in reversed(range(num_stages)):
+            me_num = min(codec.module.num_me_stages - 1, stage_idx)
+            for gi in reversed(range(num_pairs)):
+                step = 2 ** stage_idx
+                fi = gi * 2 * step
+                ry, cy = codec.inverse_mctf_multi(
+                    frames[fi][0], frames[fi + step][0], mvs[fi + step],
+                    stage_idx=me_num)
+                rc, cc = codec.inverse_mctf_multi(
+                    frames[fi][1], frames[fi + step][1], mvs[fi + step],
+                    stage_idx=me_num, downscale=True)
+                frames[fi] = (ry, rc)
+                frames[fi + step] = (cy, cc)
+            num_pairs *= 2
+
+        for i in range(gop_size):
+            frame_idx = gop_idx * gop_size + i
+            y_org, c_org = frames_orig[i]
+            for qi, q in enumerate(q_list):
+                y_rec = jnp.round(jnp.clip(frames[i][0][qi], 0, 255))
+                c_rec = jnp.round(jnp.clip(frames[i][1][qi], 0, 255))
+                y_hat = y_rec[:, :, pt:y_rec.shape[2] - pb or None,
+                              pl:y_rec.shape[3] - pr or None]
+                c_hat = c_rec[:, :, pt // 2:c_rec.shape[2] - pb // 2 or None,
+                              pl // 2:c_rec.shape[3] - pr // 2 or None]
+                y_psnr = float(jpsnr(y_hat, y_org))
+                cb_psnr = float(jpsnr(c_hat[0:1], c_org[0:1]))
+                cr_psnr = float(jpsnr(c_hat[1:2], c_org[1:2]))
+                st = per_q[q]
+                st["psnrs"][frame_idx] = (6.0 * y_psnr + cb_psnr
+                                          + cr_psnr) / 8.0
+                rec444 = yuv420_to_444(y_hat, c_hat[0:1], c_hat[1:2])
+                org444 = yuv420_to_444(y_org, c_org[0:1], c_org[1:2])
+                rec_rgb = jnp.round(ycbcr_to_rgb(rec444))
+                org_rgb = jnp.round(ycbcr_to_rgb(org444))
+                st["rgb"][frame_idx] = float(jpsnr(rec_rgb, org_rgb))
+                st["msssim"][frame_idx] = float(ms_ssim(rec_rgb, org_rgb)) \
+                    if y_org.shape[2] > 160 and y_org.shape[3] > 160 else 0.0
+
+    test_time = time.time() - start_time
+    pad = frame_num - frame_num_eval
+    logs = {}
+    for q in q_list:
+        st = per_q[q]
+        ft = frame_types[pad:] if pad > 0 else frame_types
+        cut = (lambda v: v[pad:]) if pad > 0 else (lambda v: v)
+        logs[q] = generate_log_json(
+            frame_num_eval, ft, cut(st["bits"]), cut(st["bpp_mv"]),
+            cut(st["psnrs"]), cut(st["rgb"]), cut(st["msssim"]),
+            frame_pixel_num, test_time / Q)
+    return logs
+
+
 def main(argv):
     begin = time.time()
     args = parse_args(argv)
@@ -336,6 +492,9 @@ def main(argv):
                 k, v = list(config[args.ds_name]["sequences"].items())[args.seq_num]
                 config[args.ds_name]["sequences"] = {k: v}
 
+    use_qbatch = args.q_batch and not args.write_stream and len(q_list) > 1
+    qbatch_cache = {}
+
     res_summary = {"bpp": [], "psnr-rgb": [], "psnr-yuv": [], "quality": [],
                    "ms-ssim-rgb": [], "bpp_mv": []}
     for q_idx in q_list:
@@ -368,7 +527,14 @@ def main(argv):
                     create_folder(bin_folder, True)
                     cur["bin_folder"] = bin_folder
                 print(f"CODING {seq_name} q_index={q_idx}")
-                res = run_test(codec, cur)
+                if use_qbatch:
+                    key = (ds_name, seq_name)
+                    if key not in qbatch_cache:
+                        qbatch_cache[key] = run_test_qbatch(
+                            codec, cur, q_list)
+                    res = qbatch_cache[key][q_idx]
+                else:
+                    res = run_test(codec, cur)
                 res["ds_name"] = ds_name
                 res["video_path"] = seq_name
                 log_result[ds_name][seq_name] = res

@@ -104,3 +104,43 @@ def test_pwave_ar_roundtrip(tmp_path):
     x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
                                   sideinfo=(1, 1, 16, 16))
     _assert_roundtrip(codec, f, x_hat_enc, padding=16, q_index=10)
+
+
+@pytest.mark.skipif(
+    bool(__import__("os").environ.get("PMCTF_SKIP_SLOW_TESTS")),
+    reason="slow test disabled")
+@pytest.mark.parametrize("ll_mode", ["fourstep", "ar"])
+def test_pwave_roundtrip_production_width(ll_mode, tmp_path):
+    """Bitstream round-trip at PRODUCTION widths (features=112,
+    ar_features=128, decomp_levels=4) on a 256x256 plane — catches bugs
+    that only appear at real channel counts / level depth (fold gating,
+    layout choices). Slow: compiles the full-width encode/decode graphs.
+    """
+    m = PWave(decomp_levels=4, features=112, ar_features=128,
+              ll_mode=ll_mode)
+    x = _img((1, 1, 256, 256), 5)
+    params = jax.jit(lambda: m.init(RNG, x, 10))()
+    params = _trained_like_params(m, params)
+    codec = PWaveCodec(m, params)
+    f = str(tmp_path / f"prod_{ll_mode}.bin")
+    x_hat_enc, stream = codec.compress(x, q_index=10, file_name=f,
+                                       sideinfo=(1, 1, 256, 256))
+    assert len(stream) > 0
+    _assert_roundtrip(codec, f, x_hat_enc, padding=256, q_index=10)
+
+
+def test_pwave_roundtrip_act_bf16(tmp_path):
+    """Bitstream round-trip under the bf16 activation policy (act_bf16):
+    encoder and decoder trace under the same policy, so streams must stay
+    byte-consistent; outputs stay f32 (boundary casts)."""
+    m = PWave(decomp_levels=2, features=16, ar_features=16,
+              ll_mode="fourstep", act_bf16=True)
+    x = _img((1, 1, 32, 32), 6)
+    params = jax.jit(lambda: m.init(RNG, x, 10))()
+    params = _trained_like_params(m, params)
+    codec = PWaveCodec(m, params)
+    f = str(tmp_path / "bf16.bin")
+    x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
+                                  sideinfo=(1, 1, 32, 32))
+    assert x_hat_enc.dtype == jnp.float32
+    _assert_roundtrip(codec, f, x_hat_enc, padding=32, q_index=10)
