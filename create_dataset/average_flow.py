@@ -21,6 +21,9 @@ import sys
 import numpy as np
 from PIL import Image
 
+# repo root on sys.path so the script runs from any cwd
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
 
 def main(argv):
     p = argparse.ArgumentParser()

@@ -1,45 +1,98 @@
-"""Tests for the offline dataset-creation pipeline pieces."""
+"""Dataset-creation pipeline validation on synthetic video.
 
-import sys
+Exercises the offline vimeo-32 pipeline (create_dataset/) end-to-end on a
+generated 3-scene video: shot detection must find the histogram+SAD cuts,
+clip extraction must respect shot bounds and the 32-frame minimum, GIST
+exclusion must flag exactly the near-duplicate clip, and deletion must
+apply the exclusion list. ref: create-dataset/extract_clips.py:9-50,
+gist_shot_exclusion.py:16-36, delete_excluded_shots.py.
+"""
+
+import glob
+import json
+import os
 import os.path as osp
+import subprocess
+import sys
 
 import numpy as np
+import pytest
+from PIL import Image
 
-sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
-                            "create_dataset"))
-
-from gist import gist_descriptor, gist_distance  # noqa: E402
-from extract_clips import detect_shots, block_sad, hsv_hist  # noqa: E402
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def test_gist_descriptor_shape_and_discrimination():
+def _write_scenes(vdir):
+    """120 frames: scene A (0-47, bright/red), cut, scene B (48-99,
+    dark/blue), cut, scene C (100-119, too short for a clip)."""
     rng = np.random.default_rng(0)
-    a = rng.uniform(0, 255, (128, 128))
-    b = a + rng.normal(0, 2, a.shape)          # near-duplicate
-    c = rng.uniform(0, 255, (128, 128))        # different scene
-    da, db, dc = (gist_descriptor(x) for x in (a, b, c))
-    assert da.shape == (4 * 4 * 32,)
+    h, w = 256, 448
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    tex_a = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+    tex_b = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+    for i in range(120):
+        if i < 48:
+            base = np.stack([np.full_like(xx, 220),
+                             (xx * 0.3 + 3 * i) % 80 + 120,
+                             np.full_like(xx, 180)], -1) + tex_a
+        elif i < 100:
+            base = np.stack([np.full_like(xx, 20),
+                             (yy * 0.3 + 2 * (i - 48)) % 60,
+                             np.full_like(xx, 90)], -1) + tex_b
+        else:
+            base = np.stack([np.full_like(xx, 100),
+                             np.full_like(xx, 180),
+                             (xx * 0.2 + 5 * i) % 60 + 60], -1)
+        Image.fromarray(np.clip(base, 0, 255).astype(np.uint8)).save(
+            osp.join(vdir, f"f{i:04d}.png"))
 
-    def norm(d):
-        return d / (np.linalg.norm(d) + 1e-9)
 
-    near = gist_distance(norm(da), norm(db))
-    far = gist_distance(norm(da), norm(dc))
-    assert near < far
+def _run(script, *args):
+    proc = subprocess.run(
+        [sys.executable, osp.join(ROOT, "create_dataset", script), *args],
+        capture_output=True, text=True, timeout=600, cwd=ROOT)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return proc.stdout
 
 
-def test_shot_detection_finds_cut():
+def test_pipeline_end_to_end(tmp_path):
+    vdir = tmp_path / "videos" / "vid1"
+    vdir.mkdir(parents=True)
+    _write_scenes(str(vdir))
+    clips = tmp_path / "clips"
+
+    _run("extract_clips.py", "--videos", str(tmp_path / "videos"),
+         "--out", str(clips))
+    starts = []
+    src0 = np.asarray(Image.open(vdir / "f0000.png"))
+    src48 = np.asarray(Image.open(vdir / "f0048.png"))
+    folders = sorted(glob.glob(str(clips / "sequences" / "*" / "*")))
+    # scene A (48 frames) -> 1 clip; scene B (52) -> 1; scene C (20) -> 0
+    assert len(folders) == 2, folders
+    im_a = np.asarray(Image.open(osp.join(folders[0], "im1.png")))
+    im_b = np.asarray(Image.open(osp.join(folders[1], "im1.png")))
+    assert np.array_equal(im_a, src0)
+    assert np.array_equal(im_b, src48)
+    assert len(glob.glob(osp.join(folders[0], "im*.png"))) == 32
+
+    # near-duplicate of clip 0 -> must be the ONLY exclusion
+    dup = osp.join(osp.dirname(folders[0]), "0002")
+    os.makedirs(dup)
     rng = np.random.default_rng(1)
-    scene_a = rng.integers(0, 80, (10, 64, 64, 3)).astype(np.uint8)
-    scene_b = rng.integers(170, 255, (10, 64, 64, 3)).astype(np.uint8)
-    frames = list(scene_a) + list(scene_b)
-    shots = detect_shots(frames)
-    assert len(shots) == 2
-    assert shots[0] == (0, 10)
-    assert shots[1] == (10, 20)
+    for p in sorted(glob.glob(osp.join(folders[0], "im*.png"))):
+        a = np.asarray(Image.open(p)).astype(np.int16)
+        a = np.clip(a + rng.integers(-3, 4, a.shape), 0, 255)
+        Image.fromarray(a.astype(np.uint8)).save(
+            osp.join(dup, osp.basename(p)))
 
+    excl = tmp_path / "excluded.json"
+    out = _run("gist_shot_exclusion.py", "--data", str(clips),
+               "--out", str(excl))
+    assert "1 / 3" in out, out
+    assert json.load(open(excl)) == ["00000/0002"]
 
-def test_block_sad_zero_for_identical():
-    f = np.random.default_rng(2).integers(0, 255, (64, 64, 3)).astype(np.uint8)
-    assert block_sad(f, f) == 0.0
-    assert hsv_hist(f).shape == (48,)
+    _run("delete_excluded_shots.py", "--data", str(clips),
+         "--excluded", str(excl))
+    assert sorted(osp.basename(f) for f in
+                  glob.glob(str(clips / "sequences" / "00000" / "*"))) == \
+        ["0000", "0001"]
