@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.masks import causal_conv_mask
-from ..ops.fold import fold2_weights
+from ..ops.fold import fold_weights_by_mode
 
 _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -131,8 +131,9 @@ class Conv2d(nn.Module):
     policy_exempt: bool = False
 
     @nn.compact
-    def __call__(self, x, folded: bool = False):
-        """folded=True: `x` is a fold2()-space tensor (4*in_ch channels at
+    def __call__(self, x, folded=False):
+        """folded: False, or a fold mode (True/"2x2", "w2", "2x2w2")
+        — `x` is then a folded-space tensor (4*in_ch channels at
         half resolution); the kernel is folded on the fly (see ops.fold)
         and a folded-space output is returned. Only valid for stride 1,
         groups 1, odd square kernels — the small-channel hot nets
@@ -153,11 +154,11 @@ class Conv2d(nn.Module):
             # get different semantics
             assert (self.stride == 1 and self.groups == 1 and kh == kw
                     and self.padding is None), self
-            wf, pad = fold2_weights(w)
+            wf, pad, rep = fold_weights_by_mode(w, folded)
             y = conv2d_nchw(x, wf, 1, pad, 1, exempt=self.policy_exempt)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-                y = y + jnp.repeat(b, 4).reshape(1, -1, 1, 1).astype(y.dtype)
+                y = y + jnp.repeat(b, rep).reshape(1, -1, 1, 1).astype(y.dtype)
             return y
         pad = self.padding
         if pad is None:
@@ -215,10 +216,10 @@ class PredictUpdate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.fold import fold2, unfold2, foldable
-        fold = foldable(x)
+        from ..ops.fold import fold_by_mode, unfold_by_mode, fold_mode_small
+        fold = fold_mode_small(x)
         if fold:
-            x = fold2(x)
+            x = fold_by_mode(x, fold)
         c1 = Conv2d(self.in_ch, self.hidden, 3, name="conv1")(x, folded=fold)
         x = jnp.tanh(c1)
         x = Conv2d(self.hidden, self.hidden, 3, name="conv2")(x, folded=fold)
@@ -227,7 +228,7 @@ class PredictUpdate(nn.Module):
         x = c1 + x
         y = Conv2d(self.hidden, self.in_ch, 3, name="conv4")(x, folded=fold)
         if fold:
-            y = unfold2(y)
+            y = unfold_by_mode(y, fold)
         return y.astype(jnp.float32)  # net boundary: policy-safe dtype
 
 

@@ -23,11 +23,11 @@ class PostProcess(nn.Module):
         # situ at full res); executing the whole net in fold2 space
         # (256 ch at half res) measured 104 -> 91 ms at 1080p (exact
         # kernel transform; batch<=2 gate as for PredictUpdate).
-        from ..ops.fold import fold2, unfold2, foldable
-        fold = foldable(x)
+        from ..ops.fold import fold_by_mode, unfold_by_mode, fold_mode_wide
+        fold = fold_mode_wide(x)
         xin = x
         if fold:
-            x = fold2(x)
+            x = fold_by_mode(x, fold)
         t = Conv2d(self.in_ch, self.channels, 3, name="conv1")(x, folded=fold)
         conv1 = t
         for i in range(self.num_res):
@@ -35,7 +35,7 @@ class PostProcess(nn.Module):
         t = Conv2d(self.channels, self.channels, 3, name="conv2")(t, folded=fold) + conv1
         t = Conv2d(self.channels, self.out_ch, 3, name="conv3")(t, folded=fold)
         if fold:
-            t = unfold2(t)
+            t = unfold_by_mode(t, fold)
         # net boundary: cast so the conv_compute_dtype policy never leaks
         # bf16 activations into the codec's f32 signal path
         return xin + t.astype(jnp.float32)

@@ -118,6 +118,112 @@ def conv2d_folded(x, w, bias=None):
 
 
 # ---------------------------------------------------------------------------
+# Width-only fold (1x2): (B, C, H, W) -> (B, 2C, H, W/2).
+#
+# fold2 (2x2) quadruples FLOPs (the structural zeros run as real MACs) in
+# exchange for 4C MXU channel occupancy; for nets whose channel count is
+# already >= 64, doubling to 2C usually reaches the high-rate regime, so
+# the width-only variant pays only 2x FLOPs — measured on v5e: the
+# postprocess-shaped 64ch stack runs 104 ms direct, 91 ms fold2x2, and
+# ~55 ms fold1x2 (benchmarks/foldw_lab.py). Same index algebra as fold2
+# restricted to the W axis: folded tap v of output-phase qo/input-phase
+# qi carries original tap dx = 2v + qi - qo.
+# ---------------------------------------------------------------------------
+
+
+def foldw2(x):
+    """(B, C, H, W) -> (B, 2C, H, W/2); channel order (c, j)."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h, w // 2, 2)
+    x = x.transpose(0, 1, 4, 2, 3)
+    return x.reshape(b, 2 * c, h, w // 2)
+
+
+def unfoldw2(x):
+    """Inverse of foldw2: (B, 2C, H, W/2) -> (B, C, H, W)."""
+    b, c2, h, w = x.shape
+    c = c2 // 2
+    x = x.reshape(b, c, 2, h, w)
+    x = x.transpose(0, 1, 3, 4, 2)
+    return x.reshape(b, c, h, 2 * w)
+
+
+def _foldw_map(k: int) -> np.ndarray:
+    """Static scatter map M[(qo, qi, v, dx)] in {0,1} for the W axis."""
+    r = (k - 1) // 2
+    lo, hi = _fold_tap_range(k)
+    kf = hi - lo + 1
+    m = np.zeros((2, 2, kf, k), np.float32)
+    for qo in range(2):
+        for qi in range(2):
+            for vi, v in enumerate(range(lo, hi + 1)):
+                dx = 2 * v + qi - qo
+                if abs(dx) <= r:
+                    m[qo, qi, vi, dx + r] = 1.0
+    return m
+
+
+def foldw2_weights(w):
+    """(O, I, kh, kw) OIHW -> (2O, 2I, kh, kw') zero-structured equivalent.
+
+    Returns (w_folded, padding) with 'same' padding for the folded conv:
+    symmetric (kh-1)/2 rows, (-lo, hi) columns.
+    """
+    o, i, kh, kw = w.shape
+    assert kw % 2 == 1, (kh, kw)
+    lo, hi = _fold_tap_range(kw)
+    m = jnp.asarray(_foldw_map(kw), w.dtype)
+    wf = jnp.einsum("abvx,oiyx->oaibyv", m, w)
+    kf = hi - lo + 1
+    wf = wf.reshape(2 * o, 2 * i, kh, kf)
+    pad = ((kh // 2, kh // 2), (-lo, hi))
+    return wf, pad
+
+
+def fold_by_mode(x, mode):
+    """Apply a fold mode to a tensor: '2x2', 'w2', or '2x2w2' (composed)."""
+    if mode in (True, "2x2"):
+        return fold2(x)
+    if mode == "w2":
+        return foldw2(x)
+    if mode == "2x2w2":
+        return foldw2(fold2(x))
+    raise ValueError(mode)
+
+
+def unfold_by_mode(x, mode):
+    if mode in (True, "2x2"):
+        return unfold2(x)
+    if mode == "w2":
+        return unfoldw2(x)
+    if mode == "2x2w2":
+        return unfold2(unfoldw2(x))
+    raise ValueError(mode)
+
+
+def fold_weights_by_mode(w, mode):
+    """Fold an OIHW kernel for a mode; returns (w_folded, pad, ch_repeat).
+
+    ch_repeat is the per-original-channel bias replication factor in the
+    folded space (channel order is original-channel-major for every mode,
+    so jnp.repeat(bias, ch_repeat) matches).
+    """
+    if mode in (True, "2x2"):
+        wf, pad = fold2_weights(w)
+        return wf, pad, 4
+    if mode == "w2":
+        wf, pad = foldw2_weights(w)
+        return wf, pad, 2
+    if mode == "2x2w2":
+        # fold2 of an odd kernel is odd-sized with symmetric 'same'
+        # padding (_fold_tap_range is symmetric), so foldw2 composes.
+        wf, _ = fold2_weights(w)
+        wf, pad = foldw2_weights(wf)
+        return wf, pad, 8
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------------------------
 # Global switch (read at TRACE time, like layers.conv_compute_dtype): lets
 # tests compare folded vs direct execution. Default ON — the folded path is
 # numerically equivalent (same products, reassociated sums) and ~1.9-2x
@@ -155,3 +261,48 @@ def foldable(x) -> bool:
     """
     return (fold_enabled() and x.shape[0] <= 2
             and x.shape[-2] % 2 == 0 and x.shape[-1] % 2 == 0)
+
+
+# Width-fold switch (trace-time, like fold_enabled): gates the cheaper
+# fold variants that the round-3 lab validated. Kill-switch env var.
+_FOLDW = [os.environ.get("PMCTF_FOLDW", "0") != "0"]
+
+
+@contextlib.contextmanager
+def fold_width_variants(enabled: bool):
+    _FOLDW.append(bool(enabled))
+    try:
+        yield
+    finally:
+        _FOLDW.pop()
+
+
+def foldw_enabled() -> bool:
+    return _FOLDW[-1]
+
+
+def fold_mode_small(x):
+    """Preferred fold mode for the tiny-channel nets (PredictUpdate at
+    16ch): composed 2x2+w2 reaches 128ch occupancy at 8x FLOPs, which
+    the v5e MXU rate curve still repays vs 64ch at 4x (foldw_lab)."""
+    if not (fold_enabled() and x.shape[0] <= 2):
+        return False
+    h, w = x.shape[-2], x.shape[-1]
+    if foldw_enabled() and h % 2 == 0 and w % 4 == 0:
+        return "2x2w2"
+    if h % 2 == 0 and w % 2 == 0:
+        return "2x2"
+    return False
+
+
+def fold_mode_wide(x):
+    """Preferred fold mode for 64ch nets (PostProcess): width-only fold
+    reaches 128ch at only 2x FLOPs (vs fold2's 256ch at 4x)."""
+    if not (fold_enabled() and x.shape[0] <= 2):
+        return False
+    h, w = x.shape[-2], x.shape[-1]
+    if foldw_enabled() and w % 2 == 0:
+        return "w2"
+    if h % 2 == 0 and w % 2 == 0:
+        return "2x2"
+    return False

@@ -85,9 +85,10 @@ def main():
         # atol covers zero-initialized leaves (biases, gains) where the
         # first Adam update is pure sign-of-tiny-gradient noise: the
         # sharded psum's different reduction order can flip those signs,
-        # moving the update by O(lr * 1e-1) — far below any real
-        # divergence (a broken gradient reduction shows O(1) errors).
-        np.testing.assert_allclose(b, a, rtol=5e-4, atol=2e-5)
+        # moving the update by up to ~lr (1e-4 here) — far below any real
+        # divergence (a broken gradient reduction shows O(1) relative
+        # errors on the non-zero leaves, which rtol still catches).
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1.5e-4)
         denom = np.maximum(np.abs(a), 1e-3)
         worst = max(worst, float(np.max(np.abs(a - b) / denom)))
     print(f"params match: {len(flat_ref)} leaves, worst rel diff {worst:.2e}")

@@ -104,6 +104,45 @@ def test_fold_batch_gate():
     assert not foldable(jnp.zeros((1, 1, 7, 8)))
 
 
+@pytest.mark.parametrize("mode", ["w2", "2x2w2"])
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_width_fold_modes_match_direct(mode, k):
+    from learned_pmctf_tpu.ops.fold import (
+        fold_by_mode, unfold_by_mode, fold_weights_by_mode)
+    g = np.random.default_rng(k)
+    x = jnp.asarray(g.normal(0, 1, (2, 5, 16, 24)), jnp.float32)
+    w = jnp.asarray(g.normal(0, 0.2, (7, 5, k, k)), jnp.float32)
+    ref = _conv_ref(x, w)
+    wf, pad, rep = fold_weights_by_mode(w, mode)
+    assert rep == {"w2": 2, "2x2w2": 8}[mode]
+    yf = jax.lax.conv_general_dilated(
+        fold_by_mode(x, mode), wf, (1, 1), pad,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = unfold_by_mode(yf, mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("module_kind", ["postprocess", "pu"])
+def test_width_fold_nets_match_nofold(module_kind):
+    from learned_pmctf_tpu.ops.fold import fold_width_variants
+    g = np.random.default_rng(11)
+    x = jnp.asarray(g.normal(0, 1, (1, 1, 32, 64)), jnp.float32)
+    if module_kind == "postprocess":
+        from learned_pmctf_tpu.models.postprocess import PostProcess
+        m = PostProcess()
+    else:
+        from learned_pmctf_tpu.models.layers import PredictUpdate
+        m = PredictUpdate(1)
+    params = m.init(jax.random.PRNGKey(0), x)
+    with fold_small_convs(False):
+        ref = m.apply(params, x)
+    with fold_width_variants(True):
+        out = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)
+
+
 def test_param_tree_unchanged_by_folding():
     """Folding is an execution detail: the param tree (names, shapes) is
     identical, so checkpoints and the torch importer are unaffected."""

@@ -52,6 +52,32 @@ def test_spatial_sharded_conv_matches_single_device():
     np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h), atol=1e-5)
 
 
+@requires_multidevice
+def test_spatial_sharded_learned_lifting_matches_single_device():
+    """The full learned 2-D lifting (PU CNNs + skip taps) under a
+    width-sharded frame equals the unsharded result — the halo exchanges
+    XLA inserts for the conv stencils and the fold/unfold reshapes must
+    compose correctly at non-toy size (256x512)."""
+    import jax.numpy as jnp
+    from learned_pmctf_tpu.parallel import make_mesh, frame_sharding
+    from learned_pmctf_tpu.models.wavelet import LiftingScheme2D
+
+    mesh = make_mesh(8, spatial=2)
+    m = LiftingScheme2D()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 1, 256, 512)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    fwd = jax.jit(lambda p, v: m.apply(p, v, method=LiftingScheme2D.forward_lift_2d))
+    ref = fwd(params, x)
+    xs = jax.device_put(x, frame_sharding(mesh))
+    with mesh:
+        out = fwd(params, xs)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=5e-5, rtol=1e-5)
+
+
 def test_dp_step_matches_single_device():
     """Sharded data-parallel train step == unsharded step numerically
     (slow: compiles a tiny GOP-2 step twice on the virtual CPU mesh)."""
