@@ -21,14 +21,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET_FPS = 2.0  # 5x assumed 0.4 fps A100 reference
 
+# PMCTF_BENCH_PIPE=1: software-pipeline the forward pass — chroma of
+# pair i rides in the SAME program as luma of pair i+1 (fully
+# independent subgraphs, so XLA interleaves chroma's latency-bound
+# small-resolution work into the luma stacks' bubbles). The luma chain
+# (dpb) stays sequential ACROSS programs, which is all it needs.
+BENCH_PIPE = os.environ.get("PMCTF_BENCH_PIPE", "1") == "1"
 
-def main():
+
+def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
     import jax
     import jax.numpy as jnp
     from learned_pmctf_tpu.models import PMCTF
@@ -39,8 +47,10 @@ def main():
     # act_bf16: conv activations stay bf16 between convs (HBM halving on
     # the full-res stacks; measured -12% on the luma pair) — signal path
     # and entropy-parameter heads are f32 by construction (layers.policy_scope)
-    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep",
-                   warp_mode="fast", act_bf16=True)
+    mk = dict(decomp_levels=4, num_me_stages=4, ll_mode="fourstep",
+              warp_mode="fast", act_bf16=True)
+    mk.update(module_kwargs or {})
+    module = PMCTF(**mk)
     g = np.random.default_rng(0)
 
     # init at small spatial size (params are shape-agnostic)
@@ -51,9 +61,10 @@ def main():
                               method=PMCTF.full_init_graph)
     )({"params": jax.random.PRNGKey(0)})
 
-    gop = 16
-    num_stages = 4
-    h, w = 1152, 1920  # 1080p padded to 128
+    import math
+    num_stages = int(math.log2(gop))
+    assert 2 ** num_stages == gop, gop
+    # default: 1080p padded to 128 (1152x1920)
     luma = [jnp.asarray(g.integers(0, 256, (1, 1, h, w)), jnp.float32)
             for _ in range(gop)]
     chroma = [jnp.asarray(g.integers(0, 256, (2, 1, h // 2, w // 2)), jnp.float32)
@@ -76,6 +87,7 @@ def main():
 
     jit_luma = {}
     jit_chroma = {}
+    jit_pipe = {}
     jit_inv_stage = {}
     for st in range(num_stages):
         for lt in (False, True):
@@ -83,6 +95,16 @@ def main():
                 lambda p, r, c, d, s=st, l=lt: luma_fn(p, r, c, d, l, s))
             jit_chroma[(st, lt)] = jax.jit(
                 lambda p, r, c, mv, s=st, l=lt: chroma_fn(p, r, c, mv, l, s))
+
+    def get_pipe(key):
+        # (luma stage, luma code_lt, chroma stage, chroma code_lt)
+        if key not in jit_pipe:
+            sy, ly, sc, lc = key
+            jit_pipe[key] = jax.jit(
+                lambda p, ry, cy, d, rc, cc, mv: (
+                    luma_fn(p, ry, cy, d, ly, sy),
+                    chroma_fn(p, rc, cc, mv, lc, sc)))
+        return jit_pipe[key]
 
     # Inverse: all pairs of a temporal stage are independent; ONE program
     # per stage interleaves their (latency-bound) warp/filter chains —
@@ -110,22 +132,52 @@ def main():
         fl = list(luma)
         fc = list(chroma)
         mvs = [None] * gop
+        # flat forward task list: (me_stage, code_lt, fi, step, stage)
+        tasks = []
         pairs = gop // 2
         for stage in range(num_stages):
-            dpb = dpb0
             for gi in range(pairs):
                 step = 2 ** stage
-                fi = gi * 2 * step
-                code_lt = stage == num_stages - 1
-                st = min(stage, module.num_me_stages - 1)
-                out = jit_luma[(st, code_lt)](params, fl[fi], fl[fi + step], dpb)
+                tasks.append((min(stage, module.num_me_stages - 1),
+                              stage == num_stages - 1,
+                              gi * 2 * step, step, stage))
+            pairs //= 2
+
+        if BENCH_PIPE:
+            # software pipeline: program i = luma(pair i) + chroma(pair i-1)
+            dpb = dpb0
+            prev = None  # (fi, step, st, lt, mv_hat)
+            for i, (st, lt, fi, step, stage) in enumerate(tasks):
+                if i > 0 and stage != tasks[i - 1][4]:
+                    dpb = dpb0
+                if prev is None:
+                    out = jit_luma[(st, lt)](
+                        params, fl[fi], fl[fi + step], dpb)
+                else:
+                    pfi, pstep, pst, plt, pmv = prev
+                    out, outc = get_pipe((st, lt, pst, plt))(
+                        params, fl[fi], fl[fi + step], dpb,
+                        fc[pfi], fc[pfi + pstep], pmv)
+                    fc[pfi], fc[pfi + pstep] = outc["L_t"], outc["H_t"]
                 dpb = out["dpb"]
-                outc = jit_chroma[(st, code_lt)](
+                fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
+                mvs[fi + step] = out["mv_hat"]
+                prev = (fi, step, st, lt, out["mv_hat"])
+            pfi, pstep, pst, plt, pmv = prev  # epilogue chroma
+            outc = jit_chroma[(pst, plt)](
+                params, fc[pfi], fc[pfi + pstep], pmv)
+            fc[pfi], fc[pfi + pstep] = outc["L_t"], outc["H_t"]
+        else:
+            for i, (st, lt, fi, step, stage) in enumerate(tasks):
+                if i == 0 or stage != tasks[i - 1][4]:
+                    dpb = dpb0
+                out = jit_luma[(st, lt)](params, fl[fi], fl[fi + step], dpb)
+                dpb = out["dpb"]
+                outc = jit_chroma[(st, lt)](
                     params, fc[fi], fc[fi + step], out["mv_hat"])
                 fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
                 fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
                 mvs[fi + step] = out["mv_hat"]
-            pairs //= 2
         # temporal decode: one program per stage covering all its pairs
         pairs = 1
         for stage in reversed(range(num_stages)):
@@ -144,21 +196,22 @@ def main():
         return control
 
     # warmup (compiles every (stage, code_lt) variant) + true sync
-    _ = float(code_gop())
+    control = float(code_gop())
 
-    runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         _ = float(code_gop())  # host scalar readback = real barrier
     dt = (time.perf_counter() - t0) / runs
 
     fps = gop / dt
-    print(json.dumps({
-        "metric": "pmctf_gop16_1080p_code_decode_fps",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / TARGET_FPS, 3),
-    }))
+    if report:
+        print(json.dumps({
+            "metric": "pmctf_gop16_1080p_code_decode_fps",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / TARGET_FPS, 3),
+        }))
+    return fps, control
 
 
 if __name__ == "__main__":

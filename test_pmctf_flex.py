@@ -78,6 +78,11 @@ def parse_args(argv):
                    help="code ALL q-indices in one vmapped batch (estimate "
                         "path only): the sequence is read and coded once, "
                         "with a leading Q axis over rate points")
+    p.add_argument("--shard_q", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="with --q_batch on a multi-device mesh: shard the "
+                        "leading Q axis over devices so each chip codes its "
+                        "own rate points (SURVEY §2.6 eval parallelism)")
     args = p.parse_args(argv)
     if args.two_stage_me and args.num_me_stages < 2:
         args.num_me_stages = 2
@@ -315,6 +320,22 @@ def run_test_qbatch(codec, args, q_list, logger=print):
     from learned_pmctf_tpu.ops.color import ycbcr_to_rgb, yuv420_to_444
 
     Q = len(q_list)
+
+    # Optional: shard the Q axis over a device mesh — each device codes
+    # its own rate points; all programs below are vmapped over Q, so the
+    # SPMD partitioner splits them along the batch with no collectives.
+    shard = None
+    if args.get("shard_q"):
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from learned_pmctf_tpu.parallel import make_mesh
+        nd = _jax.device_count()
+        while nd > 1 and Q % nd:
+            nd -= 1
+        if nd > 1:
+            shard = NamedSharding(make_mesh(nd), _P("data"))
+            logger(f"q_batch sharded: {Q} rate points over {nd} devices")
+
     frame_num_eval = args["frame_num"]
     gop_size = args["gop_size"]
     num_stages = max(1, int(math.log2(gop_size)))
@@ -367,8 +388,13 @@ def run_test_qbatch(codec, args, q_list, logger=print):
             c_p = jnp.pad(chroma, ((0, 0), (0, 0), (pt // 2, pb // 2),
                                    (pl // 2, pr // 2)))
             # leading Q axis: same source frame at every rate point
-            frames[i] = (jnp.tile(y_p[None], (Q, 1, 1, 1, 1)),
-                         jnp.tile(c_p[None], (Q, 1, 1, 1, 1)))
+            y_q = jnp.tile(y_p[None], (Q, 1, 1, 1, 1))
+            c_q = jnp.tile(c_p[None], (Q, 1, 1, 1, 1))
+            if shard is not None:
+                import jax as _jax
+                y_q = _jax.device_put(y_q, shard)
+                c_q = _jax.device_put(c_q, shard)
+            frames[i] = (y_q, c_q)
 
         num_pairs = gop_size // 2
         for stage_idx in range(num_stages):
@@ -518,6 +544,7 @@ def main(argv):
                     "last_frames": args.last_frames,
                     "verbose": args.verbose,
                     "synthetic": args.synthetic,
+                    "shard_q": args.shard_q,
                     "vid_path": os.path.join(root_path, ds["base_path"],
                                              seq_name + ".yuv"),
                 }

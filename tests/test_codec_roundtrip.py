@@ -50,9 +50,10 @@ def _assert_roundtrip(codec, f, x_hat_enc, padding, q_index):
     divergence (context-model mismatch, stream desync) fails loudly.
     Decoding itself must be bit-deterministic: two decodes are identical.
     """
+    atol = getattr(codec, "_rt_atol", 1e-5)
     out = codec.decompress(file_name=f, padding=padding, q_index=q_index)
     np.testing.assert_allclose(
-        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=1e-5, rtol=0)
+        np.asarray(out["x_hat"]), np.asarray(x_hat_enc), atol=atol, rtol=0)
     out2 = codec.decompress(file_name=f, padding=padding, q_index=q_index)
     np.testing.assert_array_equal(
         np.asarray(out["x_hat"]), np.asarray(out2["x_hat"]))
@@ -122,6 +123,13 @@ def test_pwave_roundtrip_production_width(ll_mode, tmp_path):
     params = jax.jit(lambda: m.init(RNG, x, 10))()
     params = _trained_like_params(m, params)
     codec = PWaveCodec(m, params)
+    # the ENTROPY path is exact (any symbol slip desyncs the range coder
+    # into O(100) garbage — and decode determinism is asserted); but the
+    # final reconstruction runs as a standalone program vs the encoder's
+    # fused one, and 4 synthesis levels at 112 features accumulate more
+    # fusion-reassociation ulps than the toy pyramids: measured 2e-4 max
+    # (CPU, ~1e-6 relative) — far below one quantization step.
+    codec._rt_atol = 1e-3
     f = str(tmp_path / f"prod_{ll_mode}.bin")
     x_hat_enc, stream = codec.compress(x, q_index=10, file_name=f,
                                        sideinfo=(1, 1, 256, 256))

@@ -101,3 +101,84 @@ def test_dryrun_multichip_subprocess():
         env=SANITIZED_CPU_ENV, capture_output=True, text=True, timeout=1500,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "OK" in proc.stdout, proc.stdout + proc.stderr
+
+
+@requires_multidevice
+def test_qbatch_sharded_matches_unsharded():
+    """Rate-point (Q-axis) sharded eval == unsharded vmapped eval.
+
+    The --shard_q eval path device_puts the leading Q axis with
+    P('data'); every coding program is vmapped over Q, so the SPMD
+    partitioner splits it across devices with no cross-device deps.
+    Asserts identical rates and reconstructions (SURVEY §2.6 item 2)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from learned_pmctf_tpu.models import PMCTF
+    from learned_pmctf_tpu.codec import PMCTFCodec
+    from learned_pmctf_tpu.parallel import make_mesh
+
+    m = PMCTF(decomp_levels=2, num_me_stages=1, channel_mv=8, channel_n=8,
+              features=8, ar_features=8, spynet_levels=3)
+    g = np.random.default_rng(3)
+    y0 = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
+    y1 = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
+    c0 = jnp.asarray(g.integers(0, 256, (2, 1, 32, 32)), jnp.float32)
+    c1 = jnp.asarray(g.integers(0, 256, (2, 1, 32, 32)), jnp.float32)
+    dpb = {"mv_feature": None, "ref_mv_y": None}
+    params = jax.jit(
+        lambda: m.init({"params": jax.random.PRNGKey(0)}, y0, y1, 10, dpb,
+                       method=PMCTF.full_init_graph))()
+    codec = PMCTFCodec(m, params)
+
+    Q = 4
+    q_list = [0, 7, 14, 20]
+    tile = lambda a: jnp.tile(a[None], (Q,) + (1,) * a.ndim)
+    ref = (tile(y0), tile(c0))
+    cur = (tile(y1), tile(c1))
+    out_ref = codec.estimate_one_stage_multi(ref, cur, True, dpb, q_list)
+
+    shard = NamedSharding(make_mesh(4), P("data"))
+    ref_s = tuple(jax.device_put(a, shard) for a in ref)
+    cur_s = tuple(jax.device_put(a, shard) for a in cur)
+    out_s = codec.estimate_one_stage_multi(ref_s, cur_s, True, dpb, q_list)
+
+    assert len(out_s["L_t"].sharding.device_set) == 4
+    for k in ("bit_L", "bit_H", "bit_ME"):
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_ref[k]),
+                                   rtol=1e-5, atol=1e-4)
+    for k in ("L_t", "H_t", "L_tc", "H_tc"):
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_ref[k]),
+                                   atol=1e-3)
+
+
+@requires_multidevice
+def test_spatial_sharded_pwave_forward_matches_single_device():
+    """FULL pWave.forward (lifting pyramid + subband coding + context
+    LSTM + reconstruction) on a width-sharded frame == unsharded.
+    Model-level spatial parallelism, not just one stencil: halo
+    exchanges must compose through decomposition levels, strided convs
+    and the entropy-parameter heads."""
+    import jax.numpy as jnp
+    from learned_pmctf_tpu.models.pwave import PWave
+    from learned_pmctf_tpu.parallel import make_mesh, frame_sharding
+
+    m = PWave(decomp_levels=2, features=8, ar_features=8, ll_mode="fourstep")
+    g = np.random.default_rng(5)
+    x = jnp.asarray(g.integers(0, 256, (4, 1, 128, 256)), jnp.float32)
+    params = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, 10))()
+
+    fwd = jax.jit(lambda p, v: m.apply(p, v, 10.0))
+    out_ref = fwd(params, x)
+
+    mesh = make_mesh(8, spatial=2)
+    xs = jax.device_put(x, frame_sharding(mesh))
+    with mesh:
+        out_s = fwd(params, xs)
+
+    np.testing.assert_allclose(np.asarray(out_s["x_hat"]),
+                               np.asarray(out_ref["x_hat"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(float(out_s["bpp_total"]),
+                               float(out_ref["bpp_total"]), rtol=1e-4)
