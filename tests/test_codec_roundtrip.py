@@ -147,6 +147,13 @@ def test_pwave_roundtrip_act_bf16(tmp_path):
     params = jax.jit(lambda: m.init(RNG, x, 10))()
     params = _trained_like_params(m, params)
     codec = PWaveCodec(m, params)
+    # entropy heads are f32 by construction (policy boundary casts), so
+    # the SYMBOLS are exact — but the reconstruction's bf16 conv
+    # activations round differently between the encoder's fused program
+    # and the standalone reconstruct program (XLA fuses them
+    # differently; measured 0.07 max / 0.2% of pixels on CPU — vs O(100)
+    # across the whole plane for a real desync). Determinism still exact.
+    codec._rt_atol = 0.25
     f = str(tmp_path / "bf16.bin")
     x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
                                   sideinfo=(1, 1, 32, 32))
