@@ -96,6 +96,13 @@ def build_codec(args):
     from learned_pmctf_tpu.codec import PMCTFCodec
     from learned_pmctf_tpu.utils.checkpoint import load_checkpoint
 
+    is_torch_ckpt = bool(args.model_path) and args.model_path.endswith(
+        (".pth", ".pt", ".pth.tar", ".ckpt"))
+    if is_torch_ckpt and args.ll_mode != "ar":
+        print("NOTE: reference torch checkpoints use the AR LL model; "
+              "forcing --ll_mode ar for parity")
+        args.ll_mode = "ar"
+
     module = PMCTF(
         decomp_levels=args.decomp_levels, lossy=not args.lossless,
         num_me_stages=args.num_me_stages, ll_mode=args.ll_mode,
@@ -103,7 +110,32 @@ def build_codec(args):
         channel_mv=args.channel_mv, channel_n=args.channel_mv,
         warp_mode=args.warp_mode)
 
-    if args.model_path and os.path.exists(args.model_path):
+    if is_torch_ckpt and os.path.exists(args.model_path):
+        # a reference (PyTorch) checkpoint: convert in place, so BD-rate
+        # against the released model is one command (SURVEY §5, ref:
+        # README.md:46-50). Parity of the conversion is covered by
+        # tests/test_torch_parity.py (module-level + full-model).
+        from learned_pmctf_tpu.utils.checkpoint import load_torch_state_dict
+        from learned_pmctf_tpu.utils.torch_import import (
+            convert_pmctf_tree, merge_into_init)
+        sd = load_torch_state_dict(args.model_path)
+        tree, unused = convert_pmctf_tree(
+            sd, num_me_stages=args.num_me_stages,
+            decomp_levels=args.decomp_levels, spynet_luma=True)
+        if unused:
+            print(f"WARNING: {len(unused)} unconsumed torch keys "
+                  f"(first: {unused[:3]})")
+        g = np.random.default_rng(0)
+        small = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
+        dpb = {"mv_feature": None, "ref_mv_y": None}
+        init = module.init({"params": jax.random.PRNGKey(0)}, small, small,
+                           10, dpb, method=PMCTF.full_init_graph)
+        params, unmatched = merge_into_init(init, tree)
+        if unmatched:
+            print(f"WARNING: {len(unmatched)} converted leaves without a "
+                  f"home (first: {unmatched[:3]})")
+        print(f"converted torch checkpoint: {args.model_path}")
+    elif args.model_path and os.path.exists(args.model_path):
         params, _, _ = load_checkpoint(args.model_path)
     else:
         g = np.random.default_rng(0)
