@@ -109,3 +109,48 @@ def test_generate_log_json(tmp_path):
 def test_interpolate_log():
     v = interpolate_log(1.0, 16.0, 5, descending=False)
     np.testing.assert_allclose(v, [1, 2, 4, 8, 16], rtol=1e-6)
+
+
+class TestBDRate:
+    """Bjøntegaard delta (utils/bdrate.py) — the BASELINE.md parity metric."""
+
+    def _curve(self, scale=1.0, boost=0.0):
+        rates = np.array([0.05, 0.1, 0.2, 0.4, 0.8]) * scale
+        psnrs = np.array([32.0, 34.5, 36.8, 38.9, 40.7]) + boost
+        return list(zip(rates, psnrs))
+
+    def test_identical_curves_are_zero(self):
+        from learned_pmctf_tpu.utils.bdrate import bd_rate, bd_psnr
+        c = self._curve()
+        assert abs(bd_rate(c, c)) < 1e-9
+        assert abs(bd_psnr(c, c)) < 1e-12
+
+    def test_pure_rate_scale(self):
+        """test = anchor with 10% more rate at every quality -> +10%."""
+        from learned_pmctf_tpu.utils.bdrate import bd_rate
+        a = self._curve()
+        t = self._curve(scale=1.10)
+        assert abs(bd_rate(a, t) - 10.0) < 1e-6
+        assert abs(bd_rate(t, a) - (1 / 1.10 - 1) * 100) < 1e-6
+
+    def test_quality_boost_gives_negative_bdrate_and_positive_bdpsnr(self):
+        from learned_pmctf_tpu.utils.bdrate import bd_rate, bd_psnr
+        a = self._curve()
+        t = self._curve(boost=0.5)
+        assert bd_rate(a, t) < -5.0
+        assert 0.4 < bd_psnr(a, t) < 0.6
+
+    def test_unit_invariance(self):
+        """bpp vs kbps scaling of BOTH curves cancels."""
+        from learned_pmctf_tpu.utils.bdrate import bd_rate
+        a, t = self._curve(), self._curve(scale=1.2, boost=0.3)
+        a_k = [(r * 5e4, q) for r, q in a]
+        t_k = [(r * 5e4, q) for r, q in t]
+        assert abs(bd_rate(a, t) - bd_rate(a_k, t_k)) < 1e-9
+
+    def test_from_logs(self):
+        from learned_pmctf_tpu.utils.bdrate import bd_rate_from_logs
+        mk = lambda pts: {i: {"ave_all_frame_bpp": r, "ave_all_frame_psnr": q}
+                          for i, (r, q) in enumerate(pts)}
+        got = bd_rate_from_logs(mk(self._curve()), mk(self._curve(1.10)))
+        assert abs(got - 10.0) < 1e-6
