@@ -43,6 +43,8 @@ def parse_args(argv):
                    help="'fast' trains a self-consistent gather-free-warp "
                         "model; use 'exact' for reference-semantics parity")
     p.add_argument("--steps_per_epoch", type=int, default=-1)
+    p.add_argument("--log_every", type=int, default=100,
+                   help="log train metrics every N global steps")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard the batch over this many devices (0 = all "
                         "visible devices if >1, else single-device); the "
@@ -69,6 +71,11 @@ def main(argv):
     from learned_pmctf_tpu.utils.checkpoint import (
         save_checkpoint, load_checkpoint)
     from learned_pmctf_tpu.utils.logger import get_root_logger, get_env_info
+
+    # persistent compile cache: the staged GOP-8/16 step graphs take tens
+    # of minutes to compile remotely; cache hits make retries/resumes cheap
+    from learned_pmctf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg = CurriculumConfig.from_json(args.config)
     rng = np.random.default_rng(args.seed)
@@ -250,7 +257,7 @@ def main(argv):
             params, opt_state, metrics = step_fn[me_num](
                 params, opt_state, frames, jnp.float32(q_index),
                 jnp.float32(lmbda), sub)
-            if global_step % 100 == 0:
+            if global_step % args.log_every == 0:
                 logger.info(
                     f"epoch {epoch} [{it}/{steps}] "
                     f"rd {float(metrics['rd_loss']):.4f} "
