@@ -28,15 +28,12 @@ import numpy as np
 
 TARGET_FPS = 2.0  # 5x assumed 0.4 fps A100 reference
 
-# PMCTF_BENCH_PIPE=1: software-pipeline the forward pass — chroma of
-# pair i rides in the SAME program as luma of pair i+1 (fully
-# independent subgraphs, so XLA interleaves chroma's latency-bound
-# small-resolution work into the luma stacks' bubbles). The luma chain
-# (dpb) stays sequential ACROSS programs, which is all it needs.
-# Default OFF until measured on the chip: the merged 1080p programs are
-# not in the persistent cache yet, and an unwarmed driver bench run
-# would pay minutes of compile per merged program variant.
-BENCH_PIPE = os.environ.get("PMCTF_BENCH_PIPE", "0") == "1"
+# Software pipelining (chroma of pair i merged into luma of pair i+1's
+# program) was measured DEAD on the chip: benchmarks/merge_lab.py gives
+# split 553.9 ms vs cross-merged 562.0 ms per luma+chroma pair — the
+# luma stacks are compute-bound, so there are no bubbles for chroma to
+# hide in, and the merged program only adds scheduling constraints.
+# The experiment lives in benchmarks/merge_lab.py.
 
 
 def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
@@ -90,7 +87,6 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
 
     jit_luma = {}
     jit_chroma = {}
-    jit_pipe = {}
     jit_inv_stage = {}
     for st in range(num_stages):
         for lt in (False, True):
@@ -98,16 +94,6 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
                 lambda p, r, c, d, s=st, l=lt: luma_fn(p, r, c, d, l, s))
             jit_chroma[(st, lt)] = jax.jit(
                 lambda p, r, c, mv, s=st, l=lt: chroma_fn(p, r, c, mv, l, s))
-
-    def get_pipe(key):
-        # (luma stage, luma code_lt, chroma stage, chroma code_lt)
-        if key not in jit_pipe:
-            sy, ly, sc, lc = key
-            jit_pipe[key] = jax.jit(
-                lambda p, ry, cy, d, rc, cc, mv: (
-                    luma_fn(p, ry, cy, d, ly, sy),
-                    chroma_fn(p, rc, cc, mv, lc, sc)))
-        return jit_pipe[key]
 
     # Inverse: all pairs of a temporal stage are independent; ONE program
     # per stage interleaves their (latency-bound) warp/filter chains —
@@ -146,41 +132,16 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
                               gi * 2 * step, step, stage))
             pairs //= 2
 
-        if BENCH_PIPE:
-            # software pipeline: program i = luma(pair i) + chroma(pair i-1)
-            dpb = dpb0
-            prev = None  # (fi, step, st, lt, mv_hat)
-            for i, (st, lt, fi, step, stage) in enumerate(tasks):
-                if i > 0 and stage != tasks[i - 1][4]:
-                    dpb = dpb0
-                if prev is None:
-                    out = jit_luma[(st, lt)](
-                        params, fl[fi], fl[fi + step], dpb)
-                else:
-                    pfi, pstep, pst, plt, pmv = prev
-                    out, outc = get_pipe((st, lt, pst, plt))(
-                        params, fl[fi], fl[fi + step], dpb,
-                        fc[pfi], fc[pfi + pstep], pmv)
-                    fc[pfi], fc[pfi + pstep] = outc["L_t"], outc["H_t"]
-                dpb = out["dpb"]
-                fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
-                mvs[fi + step] = out["mv_hat"]
-                prev = (fi, step, st, lt, out["mv_hat"])
-            pfi, pstep, pst, plt, pmv = prev  # epilogue chroma
-            outc = jit_chroma[(pst, plt)](
-                params, fc[pfi], fc[pfi + pstep], pmv)
-            fc[pfi], fc[pfi + pstep] = outc["L_t"], outc["H_t"]
-        else:
-            for i, (st, lt, fi, step, stage) in enumerate(tasks):
-                if i == 0 or stage != tasks[i - 1][4]:
-                    dpb = dpb0
-                out = jit_luma[(st, lt)](params, fl[fi], fl[fi + step], dpb)
-                dpb = out["dpb"]
-                outc = jit_chroma[(st, lt)](
-                    params, fc[fi], fc[fi + step], out["mv_hat"])
-                fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
-                fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
-                mvs[fi + step] = out["mv_hat"]
+        for i, (st, lt, fi, step, stage) in enumerate(tasks):
+            if i == 0 or stage != tasks[i - 1][4]:
+                dpb = dpb0
+            out = jit_luma[(st, lt)](params, fl[fi], fl[fi + step], dpb)
+            dpb = out["dpb"]
+            outc = jit_chroma[(st, lt)](
+                params, fc[fi], fc[fi + step], out["mv_hat"])
+            fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
+            fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
+            mvs[fi + step] = out["mv_hat"]
         # temporal decode: one program per stage covering all its pairs
         pairs = 1
         for stage in reversed(range(num_stages)):
