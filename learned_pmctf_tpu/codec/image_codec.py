@@ -27,6 +27,7 @@ from ..entropy.coder import (
     build_indexes_from_scales,
 )
 from ..models.context import AR_MASKED_KERNEL, ContextFusionFourStep
+from ..models.layers import f32_streams
 from ..models.pwave import PWave, BANDS
 from ..utils.stream import encode_image, decode_image
 
@@ -108,6 +109,7 @@ class PWaveCodec:
 
     # ---- compression ---------------------------------------------------------
 
+    @f32_streams
     def compress(self, x, q_index: int, qp_scale=None,
                  file_name: Optional[str] = None, sideinfo=None):
         """Encode padded planes x (B,1,H,W); returns encoder-side recon.
@@ -265,6 +267,7 @@ class PWaveCodec:
             ).transpose(1, 2, 0)
         return jnp.asarray(partial)
 
+    @f32_streams
     def decompress(self, file_name: Optional[str] = None, stream: bytes = None,
                    shape=None, padding: int = 128, q_index: int = 0,
                    qp_scale=None):

@@ -39,6 +39,7 @@ from ..utils.stream import (
     decode_p,
     get_downsampled_shape,
 )
+from ..models.layers import f32_streams
 from .image_codec import PWaveCodec
 
 
@@ -74,6 +75,7 @@ class PMCTFCodec:
             self._jits[key] = jax.jit(fn, **kw)
         return self._jits[key]
 
+    @f32_streams
     def update(self, force: bool = False):
         """Build all CDF tables. ref: pMCTF_L.py:441-446."""
         self.em.update(force=force, entropy_coder=self.coder)
@@ -91,6 +93,7 @@ class PMCTFCodec:
 
     # ---- motion streams -------------------------------------------------------
 
+    @f32_streams
     def compress_mv(self, ref_y, cur_y, dpb, stage_idx: int = 0,
                     q_index: int = 0, me_downsample: int = 1):
         """ref: pMCTF_L.py:448-495."""
@@ -119,6 +122,7 @@ class PMCTFCodec:
             "mv_y_hat": out["mv_y_hat"],
         }
 
+    @f32_streams
     def decompress_mv(self, stream: bytes, height: int, width: int, dpb,
                       stage_idx: int = 0, q_index: int = 0,
                       me_downsample: int = 1):
@@ -208,6 +212,7 @@ class PMCTFCodec:
                 p, q, stage_idx, method=PMCTF.hp_qp_scale))
         return np.asarray(fn(self.params, jnp.float32(q_index))).item()
 
+    @f32_streams
     def compress_one_stage(self, ref_frame, cur_frame, code_lt: bool, mv_hat,
                            ischroma: bool, sideinfo=None, file_name=None,
                            stage_idx: int = 0, q_index: int = 0):
@@ -226,6 +231,7 @@ class PMCTFCodec:
                 l_t, q_index, file_name=file_name_l, sideinfo=sideinfo)
         return {"L_t": l_t, "H_t": h_t, "H_t_hat": h_t_hat, "L_t_hat": l_t_hat}
 
+    @f32_streams
     def decompress_one_stage(self, file_name: str, code_lt: bool,
                              ischroma: bool, psize: int = 128,
                              q_index: int = 0, stage_idx: int = 0):
@@ -242,6 +248,7 @@ class PMCTFCodec:
                 file_name_l, padding=pad, q_index=q_index)
         return {"L_t": l_t, "H_t": h_t}
 
+    @f32_streams
     def encode_one_stage(self, ref_frame, cur_frame, code_lt: bool, dpb,
                          output_path: str, pic_width: int, pic_height: int,
                          psize: int = 128, skip_decoding: bool = False,
@@ -369,6 +376,7 @@ class PMCTFCodec:
             "encoding_time": 0.0,
         }
 
+    @f32_streams
     def inverse_mctf(self, l_t, h_t, mv_hat, stage_idx: int = 0,
                      downscale: bool = False):
         fn = self._jit(

@@ -38,15 +38,29 @@ _default_kernel_init = nn.initializers.truncated_normal(stddev=0.02)
 # PostProcess, SpyNet's MEBasic) cast back to f32 at their return, so
 # enabling the policy never changes public output dtypes or coarsens
 # entropy-model means/scales; any NEW net traced under the policy must
-# do the same at its boundary. The flag is read at TRACE time, so
-# encoder and decoder traced under the same policy produce bitwise-
-# identical parameter planes (the determinism requirement of
-# SURVEY.md §7.3). Default None = full f32.
+# do the same at its boundary. Default None = full f32.
+#
+# The policy is for training/estimate/bench graphs ONLY. Real-bitstream
+# codec paths force f32 (see force_f32_activations below): boundary casts
+# make outputs f32-typed but cannot make bf16 programs bit-deterministic
+# across different program partitions, which the range coder requires
+# (SURVEY.md §7.3).
 # ---------------------------------------------------------------------------
 
 import contextlib
+import functools
 
 _CONV_COMPUTE_DTYPE = [None]
+
+# Trace-time override: real-bitstream codec paths force f32 regardless of
+# the module's act_bf16 flag. bf16 results are PROGRAM-STRUCTURE-dependent
+# (XLA keeps excess f32 precision inside fusions and rounds only at fusion
+# boundaries, so the encoder's fused program and the decoder's standalone
+# sub-graphs round at different points) — a bf16 symbol chain can therefore
+# never be bit-deterministic between encode and decode, and with DPB
+# feedback even a 1-ulp recon slip desyncs the range coder on the next
+# frame. act_bf16 stays a training/estimate/bench policy; streams are f32.
+_FORCE_F32 = [False]
 
 
 @contextlib.contextmanager
@@ -59,11 +73,29 @@ def conv_compute_dtype(dtype):
         _CONV_COMPUTE_DTYPE.pop()
 
 
+@contextlib.contextmanager
+def force_f32_activations():
+    """Disable the bf16 activation policy for graphs traced in this scope
+    (see _FORCE_F32 above — bit-determinism requirement of stream paths)."""
+    _FORCE_F32.append(True)
+    try:
+        yield
+    finally:
+        _FORCE_F32.pop()
+
+
+def f32_streams(fn):
+    """Method decorator for codec entry points that touch real bitstreams:
+    every device program traced inside runs the full-f32 activation path."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with force_f32_activations():
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def current_conv_dtype():
     return _CONV_COMPUTE_DTYPE[-1]
-
-
-import functools
 
 
 def policy_scope(fn):
@@ -71,14 +103,14 @@ def policy_scope(fn):
 
     Modules with `act_bf16 = True` (PWave/PMCTF) get their jittable
     entry points traced with bf16 conv activations (measured -12% on the
-    1080p luma pair-coding). Numerically safe by construction: the
-    lifting skip convs are policy_exempt (full-magnitude signal stays
-    f32), every latent/parameter head casts back to f32, and the flag
-    lives on the module config, so encoder and decoder programs always
-    trace under the SAME policy (bitstream consistency)."""
+    1080p luma pair-coding). Numerically safe for training/estimation:
+    the lifting skip convs are policy_exempt (full-magnitude signal stays
+    f32) and every latent/parameter head casts back to f32. Real-stream
+    codec paths override the flag via force_f32_activations — bf16 is
+    not bit-deterministic across program partitions."""
     @functools.wraps(fn)
     def wrapped(self, *args, **kwargs):
-        if getattr(self, "act_bf16", False):
+        if getattr(self, "act_bf16", False) and not _FORCE_F32[-1]:
             with conv_compute_dtype(jnp.bfloat16):
                 return fn(self, *args, **kwargs)
         return fn(self, *args, **kwargs)

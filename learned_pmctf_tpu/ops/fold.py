@@ -264,8 +264,10 @@ def foldable(x) -> bool:
 
 
 # Width-fold switch (trace-time, like fold_enabled): gates the cheaper
-# fold variants that the round-3 lab validated. Kill-switch env var.
-_FOLDW = [os.environ.get("PMCTF_FOLDW", "0") != "0"]
+# fold variants. Default ON — measured on the chip: postprocess-shaped
+# stack 90.0 -> 54.9 ms (foldw_lab), full bench 1.835 -> 2.074 fps
+# GOP-16 1080p. Kill-switch env var PMCTF_FOLDW=0.
+_FOLDW = [os.environ.get("PMCTF_FOLDW", "1") != "0"]
 
 
 @contextlib.contextmanager

@@ -138,22 +138,23 @@ def test_pwave_roundtrip_production_width(ll_mode, tmp_path):
 
 
 def test_pwave_roundtrip_act_bf16(tmp_path):
-    """Bitstream round-trip under the bf16 activation policy (act_bf16):
-    encoder and decoder trace under the same policy, so streams must stay
-    byte-consistent; outputs stay f32 (boundary casts)."""
+    """Bitstream round-trip for a model constructed with act_bf16=True.
+
+    The codec stream paths force f32 tracing (layers.f32_streams): bf16
+    results are program-structure-dependent (XLA rounds bf16 only at
+    fusion boundaries, which differ between the encoder's single fused
+    program and the decoder's standalone sub-graphs), so a bf16 symbol
+    chain can never be bit-deterministic between encode and decode —
+    measured as a real range-coder desync on the TPU. act_bf16 therefore
+    applies to training/estimate/bench graphs only; this test asserts
+    that streams from an act_bf16 model still round-trip in the exact
+    f32 regime."""
     m = PWave(decomp_levels=2, features=16, ar_features=16,
               ll_mode="fourstep", act_bf16=True)
     x = _img((1, 1, 32, 32), 6)
     params = jax.jit(lambda: m.init(RNG, x, 10))()
     params = _trained_like_params(m, params)
     codec = PWaveCodec(m, params)
-    # entropy heads are f32 by construction (policy boundary casts), so
-    # the SYMBOLS are exact — but the reconstruction's bf16 conv
-    # activations round differently between the encoder's fused program
-    # and the standalone reconstruct program (XLA fuses them
-    # differently; measured 0.07 max / 0.2% of pixels on CPU — vs O(100)
-    # across the whole plane for a real desync). Determinism still exact.
-    codec._rt_atol = 0.25
     f = str(tmp_path / "bf16.bin")
     x_hat_enc, _ = codec.compress(x, q_index=10, file_name=f,
                                   sideinfo=(1, 1, 32, 32))

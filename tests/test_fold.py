@@ -135,10 +135,14 @@ def test_width_fold_nets_match_nofold(module_kind):
         from learned_pmctf_tpu.models.layers import PredictUpdate
         m = PredictUpdate(1)
     params = m.init(jax.random.PRNGKey(0), x)
-    with fold_small_convs(False):
-        ref = m.apply(params, x)
-    with fold_width_variants(True):
-        out = m.apply(params, x)
+    # The fold is an exact algebraic identity; compare at pinned f32
+    # matmul precision so bf16-MXU reassociation noise (which differs
+    # between the folded and direct conv shapes) doesn't mask it.
+    with jax.default_matmul_precision("highest"):
+        with fold_small_convs(False):
+            ref = m.apply(params, x)
+        with fold_width_variants(True):
+            out = m.apply(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-5)
 
