@@ -34,6 +34,13 @@ TARGET_FPS = 2.0  # 5x assumed 0.4 fps A100 reference
 # luma stacks are compute-bound, so there are no bubbles for chroma to
 # hide in, and the merged program only adds scheduling constraints.
 # The experiment lives in benchmarks/merge_lab.py.
+#
+# Chroma stage-batching (PMCTF_BENCH_CBATCH): all chroma pair-codings of
+# one temporal stage are independent (halved luma MVs, no DPB), so they
+# run as ONE program with every pair's U/V planes stacked on the batch
+# axis — [u_0..u_{N-1}, v_0..v_{N-1}] so _tile_mv pairs mv_i with both
+# planes of pair i. The half-res chroma stacks are latency-bound at
+# batch 2; batching fills the MXU instead (benchmarks/chroma_batch_lab.py).
 
 
 def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
@@ -85,6 +92,8 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
         return module.apply(params, l, h, mv, stage, downscale,
                             method=PMCTF.inverse_mctf)
 
+    cbatch = os.environ.get("PMCTF_BENCH_CBATCH", "0") == "1"
+
     jit_luma = {}
     jit_chroma = {}
     jit_inv_stage = {}
@@ -132,16 +141,40 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
                               gi * 2 * step, step, stage))
             pairs //= 2
 
-        for i, (st, lt, fi, step, stage) in enumerate(tasks):
-            if i == 0 or stage != tasks[i - 1][4]:
-                dpb = dpb0
-            out = jit_luma[(st, lt)](params, fl[fi], fl[fi + step], dpb)
-            dpb = out["dpb"]
-            outc = jit_chroma[(st, lt)](
-                params, fc[fi], fc[fi + step], out["mv_hat"])
-            fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
-            fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
-            mvs[fi + step] = out["mv_hat"]
+        from itertools import groupby
+        for _, group in groupby(tasks, key=lambda t: t[4]):
+            group = list(group)
+            dpb = dpb0
+            stage_mvs = []
+            for st, lt, fi, step, _stage in group:
+                out = jit_luma[(st, lt)](params, fl[fi], fl[fi + step], dpb)
+                dpb = out["dpb"]
+                fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
+                mvs[fi + step] = out["mv_hat"]
+                stage_mvs.append(out["mv_hat"])
+                if not cbatch:
+                    outc = jit_chroma[(st, lt)](
+                        params, fc[fi], fc[fi + step], out["mv_hat"])
+                    fc[fi], fc[fi + step] = outc["L_t"], outc["H_t"]
+            if cbatch:
+                # one chroma program for the whole stage: U/V planes of all
+                # pairs stacked [u_0..u_{N-1}, v_0..v_{N-1}] (jit re-
+                # specializes jit_chroma on the batched shapes)
+                n = len(group)
+                fis = [t[2] for t in group]
+                stp = group[0][3]
+                refs = jnp.concatenate(
+                    [fc[fi][0:1] for fi in fis] + [fc[fi][1:2] for fi in fis])
+                curs = jnp.concatenate(
+                    [fc[fi + stp][0:1] for fi in fis]
+                    + [fc[fi + stp][1:2] for fi in fis])
+                outc = jit_chroma[(group[0][0], group[0][1])](
+                    params, refs, curs, jnp.concatenate(stage_mvs))
+                for i, fi in enumerate(fis):
+                    fc[fi] = jnp.concatenate(
+                        [outc["L_t"][i:i + 1], outc["L_t"][n + i:n + i + 1]])
+                    fc[fi + stp] = jnp.concatenate(
+                        [outc["H_t"][i:i + 1], outc["H_t"][n + i:n + i + 1]])
         # temporal decode: one program per stage covering all its pairs
         pairs = 1
         for stage in reversed(range(num_stages)):

@@ -163,7 +163,8 @@ class Conv2d(nn.Module):
     policy_exempt: bool = False
 
     @nn.compact
-    def __call__(self, x, folded=False):
+    def __call__(self, x, folded=False, pallas=False, pallas_act=None,
+                 pallas_res=None):
         """folded: False, or a fold mode (True/"2x2", "w2", "2x2w2")
         — `x` is then a folded-space tensor (4*in_ch channels at
         half resolution); the kernel is folded on the fly (see ops.fold)
@@ -171,6 +172,11 @@ class Conv2d(nn.Module):
         groups 1, odd square kernels — the small-channel hot nets
         (PredictUpdate, MEBasic) use this to keep the whole net in folded
         space with one fold/unfold at the boundary.
+
+        pallas: `x` is (N, H, C, W) and the conv runs as the fused Pallas
+        kernel (ops/pallas_conv.py) with optional fused activation
+        (`pallas_act`) and pre-activation residual add (`pallas_res`).
+        Inference-path only (no VJP).
         """
         kh, kw = _pair(self.kernel)
         shape = (self.out_ch, self.in_ch // self.groups, kh, kw)
@@ -180,6 +186,18 @@ class Conv2d(nn.Module):
         else:
             kinit = self.kernel_init or _default_kernel_init
         w = self.param("kernel", kinit, shape)
+        if pallas:
+            assert (self.stride == 1 and self.groups == 1 and kh == kw == 3
+                    and self.padding is None and self.use_bias), self
+            from ..ops.pallas_conv import conv3x3_hcw
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            cdt = None if self.policy_exempt else current_conv_dtype()
+            if cdt is not None:
+                x = x.astype(cdt)
+                w = w.astype(cdt)
+                if pallas_res is not None:
+                    pallas_res = pallas_res.astype(cdt)
+            return conv3x3_hcw(x, w, b, act=pallas_act, residual=pallas_res)
         if folded:
             # folded execution always computes 'same' padding — reject any
             # caller that configured explicit padding and would silently
@@ -270,7 +288,12 @@ class ResBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x, folded: bool = False):
+    def __call__(self, x, folded: bool = False, pallas: bool = False):
+        if pallas:
+            y = Conv2d(self.channels, self.channels, 3, name="conv1")(
+                x, pallas=True, pallas_act="leaky_relu")
+            return Conv2d(self.channels, self.channels, 3, name="conv2")(
+                y, pallas=True, pallas_res=x)
         y = Conv2d(self.channels, self.channels, 3, name="conv1")(x, folded=folded)
         y = nn.leaky_relu(y, negative_slope=0.2)
         y = Conv2d(self.channels, self.channels, 3, name="conv2")(y, folded=folded)

@@ -23,6 +23,27 @@ class PostProcess(nn.Module):
         # situ at full res); executing the whole net in fold2 space
         # (256 ch at half res) measured 104 -> 91 ms at 1080p (exact
         # kernel transform; batch<=2 gate as for PredictUpdate).
+        #
+        # PMCTF_PALLAS_POST=1 routes the stack through the fused Pallas
+        # conv kernel instead (ops/pallas_conv.py): native 64-ch FLOPs,
+        # channels-in-sublanes layout, bias/LeakyReLU/skip fused.
+        # Inference-path only (no VJP).
+        import os
+        if (os.environ.get("PMCTF_PALLAS_POST", "0") == "1"
+                and x.shape[-1] % 128 == 0):
+            xin = x
+            t = jnp.transpose(x, (0, 2, 1, 3))  # N,C,H,W -> N,H,C,W
+            t = Conv2d(self.in_ch, self.channels, 3, name="conv1")(
+                t, pallas=True)
+            conv1 = t
+            for i in range(self.num_res):
+                t = ResBlock(self.channels, name=f"res{i}")(t, pallas=True)
+            t = Conv2d(self.channels, self.channels, 3, name="conv2")(
+                t, pallas=True, pallas_res=conv1)
+            t = Conv2d(self.channels, self.out_ch, 3, name="conv3")(
+                t, pallas=True)
+            t = jnp.transpose(t, (0, 2, 1, 3))
+            return xin + t.astype(jnp.float32)
         from ..ops.fold import fold_by_mode, unfold_by_mode, fold_mode_wide
         fold = fold_mode_wide(x)
         xin = x
