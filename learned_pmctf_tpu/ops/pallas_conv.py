@@ -94,9 +94,14 @@ def _conv3x3_kernel(x_top, x_mid, x_bot, w_ref, b_ref, *rest,
         out_ref[0, r] = acc.astype(out_dtype)
 
 
-def _pick_th(h: int) -> int:
+def _pick_th(h: int, c: int, o: int, width: int, itemsize: int,
+             has_res: bool) -> int:
+    """Largest row-block height whose double-buffered VMEM footprint
+    (3 input copies + output + optional residual) stays under ~12 MB."""
+    budget = 12 * 1024 * 1024
+    rows_bytes = (3 * c + o + (o if has_res else 0)) * width * itemsize * 2
     for th in (8, 4, 2, 1):
-        if h % th == 0:
+        if h % th == 0 and th * rows_bytes <= budget:
             return th
     return 1
 
@@ -114,7 +119,8 @@ def conv3x3_hcw(x, w, b, *, act=None, residual=None, out_dtype=None):
     assert w.shape == (o, c, 3, 3), (w.shape, x.shape)
     assert width % 128 == 0, width
     out_dtype = out_dtype or x.dtype
-    th = _pick_th(h)
+    th = _pick_th(h, c, o, width, x.dtype.itemsize,
+                  residual is not None)
     grid = (n, h // th)
 
     # (O, C, 3, 3) -> (O, 9C) with K ordered (dy, dx, c) to match the
