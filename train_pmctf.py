@@ -43,6 +43,11 @@ def parse_args(argv):
                    help="'fast' trains a self-consistent gather-free-warp "
                         "model; use 'exact' for reference-semantics parity")
     p.add_argument("--steps_per_epoch", type=int, default=-1)
+    p.add_argument("--fix_interval", type=int, default=0,
+                   help="pin the frame interval (and thus the ME-stage "
+                        "selection): exactly ONE step graph compiles per "
+                        "stage instead of num_me_stages — used by smoke "
+                        "runs to halve remote-compile exposure")
     p.add_argument("--log_every", type=int, default=100,
                    help="log train metrics every N global steps")
     p.add_argument("--data_parallel", type=int, default=0,
@@ -227,6 +232,9 @@ def main(argv):
         num_frames = cfg.num_frames[stage_num]
         max_interval = cfg.frame_interval[stage_num]
         random_interval = stage_num >= 3
+        if args.fix_interval > 0:
+            random_interval = False
+            max_interval = args.fix_interval
 
         steps = len(loader)
         if args.steps_per_epoch > 0:
