@@ -15,3 +15,9 @@ timeout 3600 python bench.py 2>&1 | tee /tmp/bench_base.log
 PMCTF_BENCH_CBATCH=1 timeout 3600 python bench.py 2>&1 | tee /tmp/bench_cbatch.log
 PMCTF_PALLAS_POST=1 timeout 3600 python bench.py 2>&1 | tee /tmp/bench_pallas.log
 PMCTF_BENCH_CBATCH=1 PMCTF_PALLAS_POST=1 timeout 3600 python bench.py 2>&1 | tee /tmp/bench_both.log
+
+# 4. 4K estimate-path smoke (STATUS.md evidence; ref test_pMCTF_flex.py
+#    padding path analogue). 8 frames, 1 rate point, no bitstream.
+timeout 5400 python test_pmctf_flex.py --synthetic 1 --synthetic_size 2160x3840 \
+  --force_frame_num 8 --q_index 10 --output_path /tmp/4k_smoke.json \
+  2>&1 | tee docs/4k_smoke.log
