@@ -21,3 +21,7 @@ PMCTF_BENCH_CBATCH=1 PMCTF_PALLAS_POST=1 timeout 3600 python bench.py 2>&1 | tee
 timeout 5400 python test_pmctf_flex.py --synthetic 1 --synthetic_size 2160x3840 \
   --force_frame_num 8 --q_index 10 --output_path /tmp/4k_smoke.json \
   2>&1 | tee docs/4k_smoke.log
+
+# 5. AR-parity-mode timing at 1080p (VERDICT r2 item 7): measured, not
+#    estimated — compress + cold/warm decompress + LL wavefront share.
+timeout 5400 python benchmarks/bench_ar.py 2>&1 | tee docs/ar_1080p.log
