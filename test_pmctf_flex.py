@@ -83,6 +83,11 @@ def parse_args(argv):
                    help="with --q_batch on a multi-device mesh: shard the "
                         "leading Q axis over devices so each chip codes its "
                         "own rate points (SURVEY §2.6 eval parallelism)")
+    p.add_argument("--seq_batch", type=int, default=0,
+                   help="estimate path only: code up to N same-geometry "
+                        "sequences together on the vmapped batch axis "
+                        "(composes with --q_batch/--shard_q: the leading "
+                        "axis becomes sequences x rate points)")
     args = p.parse_args(argv)
     if args.two_stage_me and args.num_me_stages < 2:
         args.num_me_stages = 2
@@ -161,9 +166,6 @@ def build_codec(args):
 
 def run_test(codec, args, logger=print):
     import jax.numpy as jnp
-    from learned_pmctf_tpu.utils.metrics import psnr as jpsnr, ms_ssim
-    from learned_pmctf_tpu.ops.color import ycbcr_to_rgb, yuv420_to_444
-    import jax
 
     frame_num_eval = args["frame_num"]
     gop_size = args["gop_size"]
@@ -289,31 +291,19 @@ def run_test(codec, args, logger=print):
                 frames[fi + step] = (cy, cc)
             num_pairs *= 2
 
-        # METRICS
+        # METRICS: one device program + one readback per frame (each
+        # python-side float() costs a 40-70 ms sync through the relay)
         for i in range(gop_size):
             frame_idx = gop_idx * gop_size + i
             y_rec, c_rec = frames[i]
             y_org, c_org = frames_orig[i]
-            y_rec = jnp.round(jnp.clip(y_rec, 0, 255))
-            c_rec = jnp.round(jnp.clip(c_rec, 0, 255))
-            y_hat = y_rec[:, :, pt:y_rec.shape[2] - pb or None,
-                          pl:y_rec.shape[3] - pr or None]
-            c_hat = c_rec[:, :, pt // 2:c_rec.shape[2] - pb // 2 or None,
-                          pl // 2:c_rec.shape[3] - pr // 2 or None]
-            y_psnr = float(jpsnr(y_hat, y_org))
-            cb_psnr = float(jpsnr(c_hat[0:1], c_org[0:1]))
-            cr_psnr = float(jpsnr(c_hat[1:2], c_org[1:2]))
-            psnrs[frame_idx] = (6.0 * y_psnr + cb_psnr + cr_psnr) / 8.0
-
-            rec444 = yuv420_to_444(y_hat, c_hat[0:1], c_hat[1:2])
-            org444 = yuv420_to_444(y_org, c_org[0:1], c_org[1:2])
-            rec_rgb = jnp.round(ycbcr_to_rgb(rec444))
-            org_rgb = jnp.round(ycbcr_to_rgb(org444))
-            rgb_psnrs[frame_idx] = float(jpsnr(rec_rgb, org_rgb))
-            if y_org.shape[2] > 160 and y_org.shape[3] > 160:
-                msssims[frame_idx] = float(ms_ssim(rec_rgb, org_rgb))
-            else:
-                msssims[frame_idx] = 0.0
+            do_ms = y_org.shape[2] > 160 and y_org.shape[3] > 160
+            mfn = _frame_metrics_program(pt, pb, pl, pr, do_ms)
+            vals = np.asarray(mfn(y_rec[None], c_rec[None],
+                                  y_org[None], c_org[None]))[0]
+            psnrs[frame_idx] = float(vals[0])
+            rgb_psnrs[frame_idx] = float(vals[1])
+            msssims[frame_idx] = float(vals[2])
             if args.get("verbose", 0) >= 2:
                 logger(f"frame {frame_idx}: bpp "
                        f"{bits[frame_idx] / frame_pixel_num:.4f} "
@@ -339,34 +329,92 @@ def run_test(codec, args, logger=print):
     return log
 
 
-def run_test_qbatch(codec, args, q_list, logger=print):
-    """Estimate-path eval with ALL q-indices coded in one vmapped batch.
+_METRIC_PROGS = {}
 
-    q_index is a traced scalar (SURVEY §7.1), so the whole RD sweep runs
-    as ONE program set with a leading Q axis — eval parallelism over
-    rate points (SURVEY §2.6 item 2). Returns {q_idx: log} like repeated
-    run_test calls but reading and coding the sequence once.
-    """
+
+def _frame_metrics_program(pt, pb, pl, pr, do_msssim):
+    """Jitted, element-vmapped frame metrics: (N,...) recs + origs ->
+    (N, 3) [yuv-psnr(6-1-1), rgb-psnr, ms-ssim]. One compiled program
+    (and one host readback) replaces ~6 device round trips per
+    (sequence, rate-point, frame) element."""
+    key = (pt, pb, pl, pr, do_msssim)
+    if key in _METRIC_PROGS:
+        return _METRIC_PROGS[key]
+    import jax
     import jax.numpy as jnp
     from learned_pmctf_tpu.utils.metrics import psnr as jpsnr, ms_ssim
     from learned_pmctf_tpu.ops.color import ycbcr_to_rgb, yuv420_to_444
 
-    Q = len(q_list)
+    def one(y_rec, c_rec, y_org, c_org):
+        y_rec = jnp.round(jnp.clip(y_rec, 0, 255))
+        c_rec = jnp.round(jnp.clip(c_rec, 0, 255))
+        y_hat = y_rec[:, :, pt:y_rec.shape[2] - pb or None,
+                      pl:y_rec.shape[3] - pr or None]
+        c_hat = c_rec[:, :, pt // 2:c_rec.shape[2] - pb // 2 or None,
+                      pl // 2:c_rec.shape[3] - pr // 2 or None]
+        y_psnr = jpsnr(y_hat, y_org)
+        cb_psnr = jpsnr(c_hat[0:1], c_org[0:1])
+        cr_psnr = jpsnr(c_hat[1:2], c_org[1:2])
+        rec444 = yuv420_to_444(y_hat, c_hat[0:1], c_hat[1:2])
+        org444 = yuv420_to_444(y_org, c_org[0:1], c_org[1:2])
+        rec_rgb = jnp.round(ycbcr_to_rgb(rec444))
+        org_rgb = jnp.round(ycbcr_to_rgb(org444))
+        rgb_psnr = jpsnr(rec_rgb, org_rgb)
+        ms = ms_ssim(rec_rgb, org_rgb) if do_msssim \
+            else jnp.asarray(0.0, jnp.float32)
+        return jnp.stack([(6.0 * y_psnr + cb_psnr + cr_psnr) / 8.0,
+                          rgb_psnr, ms])
 
-    # Optional: shard the Q axis over a device mesh — each device codes
-    # its own rate points; all programs below are vmapped over Q, so the
-    # SPMD partitioner splits them along the batch with no collectives.
+    fn = jax.jit(jax.vmap(one))
+    _METRIC_PROGS[key] = fn
+    return fn
+
+
+def run_test_qbatch(codec, seq_args, q_list, logger=print):
+    """Estimate-path eval with sequences × q-indices in one vmapped batch.
+
+    q_index is a traced scalar (SURVEY §7.1), so the whole RD sweep runs
+    as ONE program set with a leading axis of S·Q elements (element
+    e = s·Q + qi codes sequence s at rate point q_list[qi]) — eval
+    parallelism over sequences AND rate points (SURVEY §2.6 item 2).
+
+    seq_args: one per-sequence arg dict, or a list of them with identical
+    geometry (height/width/gop/frame count). Returns a list (one entry
+    per sequence) of {q_idx: log} dicts like repeated run_test calls,
+    but reading and coding every sequence exactly once.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(seq_args, dict):
+        seq_args = [seq_args]
+    args = seq_args[0]
+    S = len(seq_args)
+    Q = len(q_list)
+    N = S * Q
+    for other in seq_args[1:]:
+        assert (other["src_height"], other["src_width"], other["gop_size"],
+                other["frame_num"]) == (
+            args["src_height"], args["src_width"], args["gop_size"],
+            args["frame_num"]), "seq_batch groups must share geometry"
+    # element e = s*Q + qi  →  q for element e:
+    q_vec = list(np.tile(np.asarray(q_list), S))
+
+    # Optional: shard the batch axis over a device mesh — each device
+    # codes its own (sequence, rate-point) elements; all programs below
+    # are vmapped over the axis, so the SPMD partitioner splits them
+    # along the batch with no collectives.
     shard = None
     if args.get("shard_q"):
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as _P
         from learned_pmctf_tpu.parallel import make_mesh
         nd = _jax.device_count()
-        while nd > 1 and Q % nd:
+        while nd > 1 and N % nd:
             nd -= 1
         if nd > 1:
             shard = NamedSharding(make_mesh(nd), _P("data"))
-            logger(f"q_batch sharded: {Q} rate points over {nd} devices")
+            logger(f"q_batch sharded: {S} seqs x {Q} rate points over "
+                   f"{nd} devices")
 
     frame_num_eval = args["frame_num"]
     gop_size = args["gop_size"]
@@ -377,28 +425,31 @@ def run_test_qbatch(codec, args, q_list, logger=print):
         frame_num += gop_size - frame_num_eval % gop_size
     gop_num = frame_num // gop_size
 
-    synthetic = args.get("synthetic", 0)
-    if synthetic:
-        h, w = args["src_height"], args["src_width"]
-        rng = np.random.default_rng(0)
+    readers = []
+    for s, sa in enumerate(seq_args):
+        if sa.get("synthetic", 0):
+            h, w = sa["src_height"], sa["src_width"]
+            rng = np.random.default_rng(s)
 
-        def read_frame(i):
-            return (rng.integers(0, 256, (h, w)).astype(np.uint8),
-                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
-                    rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
-    else:
-        start_frame = (args["frame_num_seq"] - frame_num) \
-            if args.get("last_frames") else 0
-        reader = YUVReader(args["vid_path"], args["src_width"],
-                           args["src_height"], start_index=start_frame)
-
-        def read_frame(i):
-            return reader.read_one_frame()
+            def read_frame(i, rng=rng, h=h, w=w):
+                return (rng.integers(0, 256, (h, w)).astype(np.uint8),
+                        rng.integers(0, 256, (h // 2, w // 2)).astype(
+                            np.uint8),
+                        rng.integers(0, 256, (h // 2, w // 2)).astype(
+                            np.uint8))
+            readers.append(read_frame)
+        else:
+            start_frame = (sa["frame_num_seq"] - frame_num) \
+                if sa.get("last_frames") else 0
+            reader = YUVReader(sa["vid_path"], sa["src_width"],
+                               sa["src_height"], start_index=start_frame)
+            readers.append(lambda i, r=reader: r.read_one_frame())
 
     frame_types = [None] * frame_num
-    per_q = {q: {"psnrs": [0.0] * frame_num, "rgb": [0.0] * frame_num,
-                 "msssim": [0.0] * frame_num, "bits": [0.0] * frame_num,
-                 "bpp_mv": [0.0] * frame_num} for q in q_list}
+    per_sq = [{q: {"psnrs": [0.0] * frame_num, "rgb": [0.0] * frame_num,
+                   "msssim": [0.0] * frame_num, "bits": [0.0] * frame_num,
+                   "bpp_mv": [0.0] * frame_num} for q in q_list}
+              for _ in range(S)]
     frame_pixel_num = args["src_height"] * args["src_width"]
     psize = 128
     pl, pr, pt, pb = get_padding_size(args["src_height"], args["src_width"],
@@ -410,18 +461,21 @@ def run_test_qbatch(codec, args, q_list, logger=print):
         frames_orig = [None] * gop_size
         mvs = [None] * gop_size
         for i in range(gop_size):
-            y, cb, cr = read_frame(frame_counter)
+            ys, cbs, crs = zip(*(readers[s](frame_counter)
+                                 for s in range(S)))
             frame_counter += 1
-            y = jnp.asarray(y, jnp.float32)[None, None]
-            chroma = jnp.stack([jnp.asarray(cb, jnp.float32),
-                                jnp.asarray(cr, jnp.float32)])[:, None]
-            frames_orig[i] = (y, chroma)
-            y_p = jnp.pad(y, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
-            c_p = jnp.pad(chroma, ((0, 0), (0, 0), (pt // 2, pb // 2),
-                                   (pl // 2, pr // 2)))
-            # leading Q axis: same source frame at every rate point
-            y_q = jnp.tile(y_p[None], (Q, 1, 1, 1, 1))
-            c_q = jnp.tile(c_p[None], (Q, 1, 1, 1, 1))
+            y = jnp.asarray(np.stack(ys), jnp.float32)[:, None, None]
+            chroma = jnp.stack([
+                jnp.asarray(np.stack(cbs), jnp.float32),
+                jnp.asarray(np.stack(crs), jnp.float32)],
+                axis=1)[:, :, None]            # (S, 2, 1, h/2, w/2)
+            frames_orig[i] = (y, chroma)       # (S, 1, 1, H, W)
+            y_p = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (pt, pb), (pl, pr)))
+            c_p = jnp.pad(chroma, ((0, 0), (0, 0), (0, 0),
+                                   (pt // 2, pb // 2), (pl // 2, pr // 2)))
+            # leading axis: each sequence repeated per rate point
+            y_q = jnp.repeat(y_p, Q, axis=0)
+            c_q = jnp.repeat(c_p, Q, axis=0)
             if shard is not None:
                 import jax as _jax
                 y_q = _jax.device_put(y_q, shard)
@@ -439,20 +493,22 @@ def run_test_qbatch(codec, args, q_list, logger=print):
                 frame_idx = gop_idx * gop_size + fi
                 result = codec.estimate_one_stage_multi(
                     frames[fi], frames[fi + step], code_lt, dpb,
-                    q_list, stage_idx=me_num)
+                    q_vec, stage_idx=me_num)
                 dpb = result["dpb"]
                 frames[fi] = (result["L_t"], result["L_tc"])
                 frames[fi + step] = (result["H_t"], result["H_tc"])
                 mvs[fi + step] = result["mv_hat"]
                 frame_types[frame_idx + step] = 1
-                for qi, q in enumerate(q_list):
-                    st = per_q[q]
-                    st["bits"][frame_idx + step] = float(
-                        result["bit_H"][qi] + result["bit_ME"][qi])
-                    st["bpp_mv"][frame_idx + step] = float(
-                        result["bit_ME"][qi]) / frame_pixel_num
-                    if code_lt:
-                        st["bits"][frame_idx] = float(result["bit_L"][qi])
+                for s in range(S):
+                    for qi, q in enumerate(q_list):
+                        e = s * Q + qi
+                        st = per_sq[s][q]
+                        st["bits"][frame_idx + step] = float(
+                            result["bit_H"][e] + result["bit_ME"][e])
+                        st["bpp_mv"][frame_idx + step] = float(
+                            result["bit_ME"][e]) / frame_pixel_num
+                        if code_lt:
+                            st["bits"][frame_idx] = float(result["bit_L"][e])
                 if code_lt:
                     frame_types[frame_idx] = 0
             num_pairs //= 2
@@ -475,39 +531,41 @@ def run_test_qbatch(codec, args, q_list, logger=print):
 
         for i in range(gop_size):
             frame_idx = gop_idx * gop_size + i
-            y_org, c_org = frames_orig[i]
-            for qi, q in enumerate(q_list):
-                y_rec = jnp.round(jnp.clip(frames[i][0][qi], 0, 255))
-                c_rec = jnp.round(jnp.clip(frames[i][1][qi], 0, 255))
-                y_hat = y_rec[:, :, pt:y_rec.shape[2] - pb or None,
-                              pl:y_rec.shape[3] - pr or None]
-                c_hat = c_rec[:, :, pt // 2:c_rec.shape[2] - pb // 2 or None,
-                              pl // 2:c_rec.shape[3] - pr // 2 or None]
-                y_psnr = float(jpsnr(y_hat, y_org))
-                cb_psnr = float(jpsnr(c_hat[0:1], c_org[0:1]))
-                cr_psnr = float(jpsnr(c_hat[1:2], c_org[1:2]))
-                st = per_q[q]
-                st["psnrs"][frame_idx] = (6.0 * y_psnr + cb_psnr
-                                          + cr_psnr) / 8.0
-                rec444 = yuv420_to_444(y_hat, c_hat[0:1], c_hat[1:2])
-                org444 = yuv420_to_444(y_org, c_org[0:1], c_org[1:2])
-                rec_rgb = jnp.round(ycbcr_to_rgb(rec444))
-                org_rgb = jnp.round(ycbcr_to_rgb(org444))
-                st["rgb"][frame_idx] = float(jpsnr(rec_rgb, org_rgb))
-                st["msssim"][frame_idx] = float(ms_ssim(rec_rgb, org_rgb)) \
-                    if y_org.shape[2] > 160 and y_org.shape[3] > 160 else 0.0
+            y_org_all, c_org_all = frames_orig[i]
+            do_ms = y_org_all.shape[3] > 160 and y_org_all.shape[4] > 160
+            mfn = _frame_metrics_program(pt, pb, pl, pr, do_ms)
+            y_org_q = jnp.repeat(y_org_all, Q, axis=0)
+            c_org_q = jnp.repeat(c_org_all, Q, axis=0)
+            if shard is not None:
+                import jax as _jax
+                y_org_q = _jax.device_put(y_org_q, shard)
+                c_org_q = _jax.device_put(c_org_q, shard)
+            # ONE device program + ONE readback for every (seq, q) metric
+            # of this frame (the per-element python loop costs a 40-70 ms
+            # tunnel sync per float through the axon relay)
+            vals = np.asarray(mfn(frames[i][0], frames[i][1],
+                                  y_org_q, c_org_q))      # (N, 3)
+            for s in range(S):
+                for qi, q in enumerate(q_list):
+                    e = s * Q + qi
+                    st = per_sq[s][q]
+                    st["psnrs"][frame_idx] = float(vals[e, 0])
+                    st["rgb"][frame_idx] = float(vals[e, 1])
+                    st["msssim"][frame_idx] = float(vals[e, 2])
 
     test_time = time.time() - start_time
     pad = frame_num - frame_num_eval
-    logs = {}
-    for q in q_list:
-        st = per_q[q]
-        ft = frame_types[pad:] if pad > 0 else frame_types
-        cut = (lambda v: v[pad:]) if pad > 0 else (lambda v: v)
-        logs[q] = generate_log_json(
-            frame_num_eval, ft, cut(st["bits"]), cut(st["bpp_mv"]),
-            cut(st["psnrs"]), cut(st["rgb"]), cut(st["msssim"]),
-            frame_pixel_num, test_time / Q)
+    logs = []
+    for s in range(S):
+        logs.append({})
+        for q in q_list:
+            st = per_sq[s][q]
+            ft = frame_types[pad:] if pad > 0 else frame_types
+            cut = (lambda v: v[pad:]) if pad > 0 else (lambda v: v)
+            logs[s][q] = generate_log_json(
+                frame_num_eval, ft, cut(st["bits"]), cut(st["bpp_mv"]),
+                cut(st["psnrs"]), cut(st["rgb"]), cut(st["msssim"]),
+                frame_pixel_num, test_time / N)
     return logs
 
 
@@ -550,8 +608,37 @@ def main(argv):
                 k, v = list(config[args.ds_name]["sequences"].items())[args.seq_num]
                 config[args.ds_name]["sequences"] = {k: v}
 
-    use_qbatch = args.q_batch and not args.write_stream and len(q_list) > 1
+    use_qbatch = not args.write_stream and (
+        (args.q_batch and len(q_list) > 1) or args.seq_batch > 0)
     qbatch_cache = {}
+
+    def make_cur(seq_name, seq, ds):
+        cur = {
+            "q_idx": None,   # q comes from q_list on the batched path
+            "src_height": seq["height"],
+            "src_width": seq["width"],
+            "gop_size": args.force_intra_period
+            if args.force_intra_period > 0 else seq["gop"],
+            "frame_num": args.force_frame_num
+            if args.force_frame_num > 0 else seq["frames"],
+            "frame_num_seq": seq["frames"],
+            "write_stream": False,
+            "skip_decoding": args.skip_decoding,
+            "last_frames": args.last_frames,
+            "verbose": args.verbose,
+            "synthetic": args.synthetic,
+            "shard_q": args.shard_q,
+            "vid_path": os.path.join(root_path, ds["base_path"],
+                                     seq_name + ".yuv"),
+        }
+        return cur
+
+    def geom(seq):
+        return (seq["height"], seq["width"],
+                args.force_intra_period if args.force_intra_period > 0
+                else seq["gop"],
+                args.force_frame_num if args.force_frame_num > 0
+                else seq["frames"])
 
     res_summary = {"bpp": [], "psnr-rgb": [], "psnr-yuv": [], "quality": [],
                    "ms-ssim-rgb": [], "bpp_mv": []}
@@ -589,8 +676,23 @@ def main(argv):
                 if use_qbatch:
                     key = (ds_name, seq_name)
                     if key not in qbatch_cache:
-                        qbatch_cache[key] = run_test_qbatch(
-                            codec, cur, q_list)
+                        members = [(seq_name, seq)]
+                        if args.seq_batch > 1:
+                            for nm, sq in ds["sequences"].items():
+                                if (nm == seq_name
+                                        or (ds_name, nm) in qbatch_cache
+                                        or len(members) >= args.seq_batch):
+                                    continue
+                                if geom(sq) == geom(seq):
+                                    members.append((nm, sq))
+                        if len(members) > 1:
+                            print(f"seq_batch: coding {len(members)} "
+                                  f"sequences together: "
+                                  f"{[m[0] for m in members]}")
+                        curs = [make_cur(nm, sq, ds) for nm, sq in members]
+                        logs = run_test_qbatch(codec, curs, q_list)
+                        for (nm, _), lg in zip(members, logs):
+                            qbatch_cache[(ds_name, nm)] = lg
                     res = qbatch_cache[key][q_idx]
                 else:
                     res = run_test(codec, cur)
