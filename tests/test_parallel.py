@@ -182,3 +182,58 @@ def test_spatial_sharded_pwave_forward_matches_single_device():
                                atol=2e-3)
     np.testing.assert_allclose(float(out_s["bpp_total"]),
                                float(out_ref["bpp_total"]), rtol=1e-4)
+
+
+@requires_multidevice
+def test_spatial_plus_q_sharded_full_stage_matches_single_device():
+    """FULL pMCTF stage (SpyNet pyramid + MV coding + temporal lifting +
+    hp/lp pWave coders, luma and chroma) with the rate-point axis
+    sharded over 'data' AND frame width sharded over 'spatial' == the
+    unsharded result. This is the composed SURVEY §2.6 eval surface:
+    a 2-D (data x spatial) mesh carrying one program for the whole RD
+    sweep, with halo exchanges through the motion stack and both
+    entropy heads (ref analogue: test_pMCTF_flex.py runs this strictly
+    sequentially on one device)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from learned_pmctf_tpu.models import PMCTF
+    from learned_pmctf_tpu.codec import PMCTFCodec
+    from learned_pmctf_tpu.parallel import make_mesh
+
+    m = PMCTF(decomp_levels=2, num_me_stages=1, channel_mv=8, channel_n=8,
+              features=8, ar_features=8, spynet_levels=3)
+    g = np.random.default_rng(7)
+    y0 = jnp.asarray(g.integers(0, 256, (1, 1, 64, 128)), jnp.float32)
+    y1 = jnp.asarray(g.integers(0, 256, (1, 1, 64, 128)), jnp.float32)
+    c0 = jnp.asarray(g.integers(0, 256, (2, 1, 32, 64)), jnp.float32)
+    c1 = jnp.asarray(g.integers(0, 256, (2, 1, 32, 64)), jnp.float32)
+    dpb = {"mv_feature": None, "ref_mv_y": None}
+    params = jax.jit(
+        lambda: m.init({"params": jax.random.PRNGKey(0)}, y0, y1, 10, dpb,
+                       method=PMCTF.full_init_graph))()
+    codec = PMCTFCodec(m, params)
+
+    Q = 4
+    q_list = [0, 7, 14, 20]
+    tile = lambda a: jnp.tile(a[None], (Q,) + (1,) * a.ndim)
+    ref = (tile(y0), tile(c0))
+    cur = (tile(y1), tile(c1))
+    out_ref = codec.estimate_one_stage_multi(ref, cur, True, dpb, q_list)
+
+    mesh = make_mesh(8, spatial=2)
+    shard = NamedSharding(mesh, P("data", None, None, None, "spatial"))
+    ref_s = tuple(jax.device_put(a, shard) for a in ref)
+    cur_s = tuple(jax.device_put(a, shard) for a in cur)
+    with mesh:
+        out_s = codec.estimate_one_stage_multi(ref_s, cur_s, True, dpb,
+                                               q_list)
+
+    assert len(out_s["L_t"].sharding.device_set) == 8
+    for k in ("bit_L", "bit_H", "bit_ME"):
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_ref[k]),
+                                   rtol=1e-5, atol=1e-4)
+    for k in ("L_t", "H_t", "L_tc", "H_tc"):
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_ref[k]),
+                                   atol=1e-3)
