@@ -2,11 +2,19 @@
 
 Orchestrates jitted device sub-graphs with host-side rANS:
 
-- compress: ONE device program computes every symbol/index plane for the
-  whole image (teacher-forced; strictly-causal models make this exact);
-  the host then streams them to the rANS encoder while the device is free
-  (ref redesign of pMCTF/models/pWave.py:381-463 — the reference loops
-  per subband and per pixel on the GPU side).
+- compress is *decode with teacher-forced symbols*: it replays the exact
+  decompress loop — same jitted sub-graph executables, same call order —
+  but the per-pass symbol source computes vals = round(y_q - means) from
+  the quantized subband (one small device op) instead of pulling them
+  from rANS. Because the parameter nets run as the SAME XLA executables
+  on both sides, encoder and decoder are bit-identical by construction;
+  evaluating them inside a separate fused encode program diverges at the
+  ulp level and, at 1080p symbol counts, flips a round()/index somewhere
+  and desyncs the range coder (measured: benchmarks/bench_ar.py before
+  this design). Unlike decode, encode has no data dependency on rANS, so
+  the whole replay chains on-device with ONE bulk readback at the end.
+  (ref: pMCTF/models/pWave.py:381-463 — the reference encodes with the
+  same torch modules it decodes with; this is the XLA equivalent.)
 - decompress: four-step subbands need 4 rANS round trips each; between
   them small jitted parameter sub-graphs run on device. The AR LL mode
   decodes by anti-diagonal wavefronts (~2H+W round trips instead of the
@@ -107,77 +115,29 @@ class PWaveCodec:
     def update(self, force: bool = False):
         self.em.update(force=force, entropy_coder=self.coder)
 
-    # ---- compression ---------------------------------------------------------
+    # ---- unified subband coding ----------------------------------------------
+    #
+    # compress and decompress run the SAME jitted executables over the SAME
+    # call sequence; the only difference is the symbol source. Decode pulls
+    # vals from rANS; encode computes vals = round((teacher - means)[phase])
+    # on-device (the exact mirror of the decoder's scatter vals + means) and
+    # defers every readback to the streaming pass at the end.
 
-    @f32_streams
-    def compress(self, x, q_index: int, qp_scale=None,
-                 file_name: Optional[str] = None, sideinfo=None):
-        """Encode padded planes x (B,1,H,W); returns encoder-side recon.
+    def _code_fourstep(self, key: str, shape, context, prev_subband,
+                       teacher=None):
+        """Code one four-step subband; returns (subband_hat, plan).
 
-        sideinfo = (batch, num_channels, true_height, true_width) for the
-        container header (ref: pWave.py:381-459)."""
-        qp = None if qp_scale is None else jnp.float32(qp_scale)
-        if qp is None:
-            fn = self._jit(
-                "encode_planes",
-                lambda p, x, q: self.module.apply(
-                    p, x, q, method=PWave.encode_planes))
-            plan, x_hat = fn(self.params, x, jnp.float32(q_index))
-        else:
-            fn = self._jit(
-                "encode_planes_qp",
-                lambda p, x, q, qs: self.module.apply(
-                    p, x, q, qs, method=PWave.encode_planes))
-            plan, x_hat = fn(self.params, x, jnp.float32(q_index), qp)
+        teacher=None: decode mode — 4 rANS calls + 4 index readbacks (the
+        sequential minimum: each pass's symbols are needed before the next
+        pass's parameters exist; ref: context_fusion_4step.py:196-249 has
+        the same 4-call floor). The scatter of pass k, the spatial-prior
+        net of pass k and the index extraction of pass k+1 are fused into
+        ONE program so the critical path between rANS calls is a single
+        dispatch. plan is None.
 
-        self.coder.reset()
-        for entry in plan:
-            if isinstance(entry["symbols"], (tuple, list)):  # four-step
-                for k in range(4):
-                    self.coder.encode_with_indexes(
-                        np.asarray(entry["symbols"][k]).reshape(-1),
-                        np.asarray(entry["indexes"][k]).reshape(-1),
-                        self.em._cdf, self.em._cdf_length, self.em._offset)
-            else:  # AR: reorder the pixel-major plane to wavefront order.
-                # the t = 2r + c slope of ar_wavefronts is only causal for
-                # 3x3 masked kernels — fail loudly rather than desync
-                assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
-                # One encode call PER FRONT, mirroring _decode_ar_ll's call
-                # granularity: the multi-substream splitter partitions each
-                # call's symbols across parts (csrc/rans_lib.cpp MultiEncoder
-                # ::encode), so per-stream contents only match when encoder
-                # and decoder chunk the symbol sequence identically.
-                syms = np.asarray(entry["symbols"])  # (H, W, B, C)
-                idxs = np.asarray(entry["indexes"])
-                hh, ww, b, c = syms.shape
-                bc = b * c
-                flat_s = syms.reshape(hh * ww, bc)
-                flat_i = idxs.reshape(hh * ww, bc)
-                for rows, cols in ar_wavefronts(hh, ww):
-                    f = rows * ww + cols
-                    self.coder.encode_with_indexes(
-                        flat_s[f].reshape(-1), flat_i[f].reshape(-1),
-                        self.em._cdf, self.em._cdf_length, self.em._offset)
-        self.coder.flush()
-        bit_stream = self.coder.get_encoded_stream()
-        if file_name is not None:
-            _, num_channels, height, width = sideinfo
-            encode_image(height, width, num_channels, bit_stream, file_name)
-        return x_hat, bit_stream
-
-    # ---- decompression -------------------------------------------------------
-
-    def _decode_fourstep(self, key: str, shape, context, prev_subband,
-                         q_index, qp_scale):
-        """Decode one four-step subband; returns the quantized subband.
-
-        Host round-trip budget per subband: 5 device programs + 4 rANS
-        calls + 4 index readbacks (the sequential minimum — each pass's
-        symbols are needed before the next pass's parameters exist;
-        ref: context_fusion_4step.py:196-249 has the same 4-call floor).
-        The scatter of pass k, the spatial-prior net of pass k and the
-        index extraction of pass k+1 are fused into ONE program so the
-        critical path between rANS calls is a single dispatch.
+        teacher=<quantized subband>: encode mode — the same executables
+        replayed with teacher-forced symbols; no host sync at all. plan is
+        the list of 4 (vals, idx) device-array pairs in stream order.
         """
         variant = self._fusion_variant(key)
         fdef = self._fusion_defs[variant]
@@ -214,12 +174,25 @@ class PWaveCodec:
 
         tail = self._jit("fs_tail", lambda xh, v, m: _scatter(xh, v, m, 3))
 
+        # teacher-forced symbols: the mirror of process_with_mask with
+        # training=False (context.py:240-252) — round((y - means)[phase])
+        def vals_fn(t, m, k):
+            my, mx = PHASES[k]
+            return jnp.round(t[:, :, my::2, mx::2] - m[:, :, my::2, mx::2])
+
+        plan = None if teacher is None else []
         x_hat = jnp.zeros(shape, jnp.float32)
         for step in range(4):
-            vals = self.coder.decode_stream(
-                np.asarray(idx), self.em._cdf, self.em._cdf_length,
-                self.em._offset)
-            vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            if teacher is None:
+                vals = self.coder.decode_stream(
+                    np.asarray(idx), self.em._cdf, self.em._cdf_length,
+                    self.em._offset)
+                vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            else:
+                vf = self._jit(("fs_vals", step),
+                               lambda t, m, s=step: vals_fn(t, m, s))
+                vals = vf(teacher, means)
+                plan.append((vals, idx))
             if step < 3:
                 body = self._jit(
                     ("fs_body", variant, step, ctx_feat is None),
@@ -227,28 +200,33 @@ class PWaveCodec:
                 x_hat, idx, means = body(fparams, x_hat, vals, means, ctx_feat)
             else:
                 x_hat = tail(x_hat, vals, means)
-        return x_hat
+        return x_hat, plan
 
-    def _decode_ar_ll(self, shape):
-        """Wavefront AR decode: one full-plane parameter evaluation + ONE
-        rANS call per anti-diagonal front (see ar_wavefronts). Bit-exact
-        vs the teacher-forced encoder: the net runs at the SAME full-plane
-        shape both sides, and every pixel of front t depends only on
-        pixels of earlier fronts (already decoded)."""
-        # see the matching assert in compress(): slope assumes 3x3 kernels
-        assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
-        b, c, h, w = shape
+    def _ar_plane(self):
+        """The ONE executable that computes AR indexes + rounded means.
 
-        # Both planes are integer-valued (indexes and ROUNDED means), so
-        # they stack into one int32 array — ONE host readback per front
-        # instead of two (each readback is a full sync through the tunnel).
-        plane_fn = self._jit(
+        Shared verbatim between decode (partial planes, once per
+        wavefront) and encode (the full teacher-forced plane, once):
+        within one executable, strict causality + exactly-0.0 masked
+        weights make the front-t outputs bit-identical between a partial
+        plane and the full plane, which is what keeps the range coder in
+        sync. Both output planes are integer-valued, so they stack into
+        one int32 array — ONE host readback per decode front."""
+        return self._jit(
             "ar_plane",
             lambda p, partial: (
                 lambda sm: jnp.stack([
                     build_indexes_from_scales(sm[0]),
                     jnp.round(sm[1]).astype(jnp.int32)]))(
                 self.module.apply(p, partial, method=PWave.ar_params)))
+
+    def _decode_ar_ll(self, shape):
+        """Wavefront AR decode: one full-plane parameter evaluation + ONE
+        rANS call per anti-diagonal front (see ar_wavefronts)."""
+        # the t = 2r + c slope of ar_wavefronts assumes 3x3 masked kernels
+        assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
+        b, c, h, w = shape
+        plane_fn = self._ar_plane()
 
         partial = np.zeros(shape, np.float32)
         for rows, cols in ar_wavefronts(h, w):
@@ -267,6 +245,142 @@ class PWaveCodec:
             ).transpose(1, 2, 0)
         return jnp.asarray(partial)
 
+    def _code_planes(self, batch: int, new_h: int, new_w: int, teachers=None):
+        """The coding-order loop shared by compress and decompress.
+
+        teachers=None decodes from self.coder; teachers=<quantize_planes
+        output> replays the same executables teacher-forced and returns
+        the stream-order entry list (device arrays only — the caller does
+        one bulk readback). Returns (subbands_hat, entries)."""
+        L = self.module.decomp_levels
+        subbands_hat = {lvl: {} for lvl in range(L)}
+        entries = None if teachers is None else []
+        ll_shape = (batch, 1, new_h // (2 ** L), new_w // (2 ** L))
+
+        if self.module.ll_mode == "ar":
+            if teachers is None:
+                ll_hat = self._decode_ar_ll(ll_shape)
+            else:
+                assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
+                ll_int = self._jit("ar_round", jnp.round)(teachers["ll"])
+                entries.append(("ar", (ll_int,
+                                       self._ar_plane()(self.params, ll_int))))
+                ll_hat = ll_int
+        else:
+            t = None if teachers is None else teachers["ll"]
+            ll_hat, plan = self._code_fourstep("ll", ll_shape, None, None, t)
+            if entries is not None:
+                entries.append(("fs", plan))
+        subbands_hat[L - 1]["ll"] = ll_hat
+
+        ctx_init = self._jit(
+            "ctx_init", lambda p, like: self.module.apply(
+                p, like, method=PWave.ctx_init))
+        states = ctx_init(self.params, ll_hat)
+
+        def ctx_step(subband, states, up):
+            fn = self._jit(
+                ("ctx_step", up, subband.shape),
+                lambda p, sb, st, u=up: self.module.apply(
+                    p, sb, st, u, method=PWave.ctx_step))
+            return fn(self.params, subband, states)
+
+        context, states = ctx_step(ll_hat, states, None)
+
+        for lvl in range(L - 1, -1, -1):
+            sh = new_h // (2 ** (lvl + 1))
+            sw = new_w // (2 ** (lvl + 1))
+            for sidx, band in enumerate(BANDS):
+                key = f"{lvl}_{band}"
+                ctx = jnp.split(context, 3, axis=1)[sidx]
+                prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
+                t = None if teachers is None else teachers[key]
+                s_hat, plan = self._code_fourstep(
+                    key, (batch, 1, sh, sw), ctx, prev, t)
+                if entries is not None:
+                    entries.append(("fs", plan))
+                subbands_hat[lvl][band] = s_hat
+                up = lvl - 1 if (band == "hh" and lvl > 0) else None
+                context, states = ctx_step(s_hat, states, up)
+        return subbands_hat, entries
+
+    def _reconstruct(self, subbands_hat, q_index, qp_scale):
+        L = self.module.decomp_levels
+        qp = None if qp_scale is None else jnp.float32(qp_scale)
+        if qp is None:
+            recon = self._jit(
+                ("reconstruct", L),
+                lambda p, sb, q: self.module.apply(
+                    p, sb, q, method=PWave.reconstruct))
+            return recon(self.params, subbands_hat, jnp.float32(q_index))
+        recon = self._jit(
+            ("reconstruct_qp", L),
+            lambda p, sb, q, qs: self.module.apply(
+                p, sb, q, qs, method=PWave.reconstruct))
+        return recon(self.params, subbands_hat, jnp.float32(q_index), qp)
+
+    # ---- compression ---------------------------------------------------------
+
+    @f32_streams
+    def compress(self, x, q_index: int, qp_scale=None,
+                 file_name: Optional[str] = None, sideinfo=None):
+        """Encode padded planes x (B,1,H,W); returns encoder-side recon.
+
+        sideinfo = (batch, num_channels, true_height, true_width) for the
+        container header (ref: pWave.py:381-459)."""
+        qp = None if qp_scale is None else jnp.float32(qp_scale)
+        if qp is None:
+            fn = self._jit(
+                "quantize_planes",
+                lambda p, x, q: self.module.apply(
+                    p, x, q, method=PWave.quantize_planes))
+            planes = fn(self.params, x, jnp.float32(q_index))
+        else:
+            fn = self._jit(
+                "quantize_planes_qp",
+                lambda p, x, q, qs: self.module.apply(
+                    p, x, q, qs, method=PWave.quantize_planes))
+            planes = fn(self.params, x, jnp.float32(q_index), qp)
+
+        b, _, h, w = x.shape
+        subbands_hat, entries = self._code_planes(b, h, w, teachers=planes)
+
+        # bulk readback + host rANS streaming (the device is free here)
+        self.coder.reset()
+        for kind, payload in entries:
+            if kind == "fs":
+                for vals, idx in payload:
+                    self.coder.encode_with_indexes(
+                        np.asarray(vals).astype(np.int32).reshape(-1),
+                        np.asarray(idx).reshape(-1),
+                        self.em._cdf, self.em._cdf_length, self.em._offset)
+            else:  # AR: wavefront order, one encode call PER FRONT —
+                # mirrors _decode_ar_ll's call granularity: the
+                # multi-substream splitter partitions each call's symbols
+                # across parts (csrc/rans_lib.cpp MultiEncoder::encode), so
+                # per-stream contents only match when encoder and decoder
+                # chunk the symbol sequence identically.
+                ll_int, both = payload
+                both = np.asarray(both)
+                idxs = both[0]
+                syms = np.asarray(ll_int).astype(np.int32) - both[1]
+                hh, ww = syms.shape[2:]
+                for rows, cols in ar_wavefronts(hh, ww):
+                    s = syms[:, :, rows, cols].transpose(2, 0, 1)
+                    i = idxs[:, :, rows, cols].transpose(2, 0, 1)
+                    self.coder.encode_with_indexes(
+                        s.reshape(-1), i.reshape(-1),
+                        self.em._cdf, self.em._cdf_length, self.em._offset)
+        self.coder.flush()
+        bit_stream = self.coder.get_encoded_stream()
+        if file_name is not None:
+            _, num_channels, height, width = sideinfo
+            encode_image(height, width, num_channels, bit_stream, file_name)
+        x_hat = self._reconstruct(subbands_hat, q_index, qp_scale)
+        return x_hat, bit_stream
+
+    # ---- decompression -------------------------------------------------------
+
     @f32_streams
     def decompress(self, file_name: Optional[str] = None, stream: bytes = None,
                    shape=None, padding: int = 128, q_index: int = 0,
@@ -281,62 +395,6 @@ class PWaveCodec:
         p = padding
         new_h = (height + p - 1) // p * p
         new_w = (width + p - 1) // p * p
-        L = self.module.decomp_levels
-        batch = num_channels
-
-        subbands_hat = {lvl: {} for lvl in range(L)}
-        sub_h = new_h // (2 ** L)
-        sub_w = new_w // (2 ** L)
-        ll_shape = (batch, 1, sub_h, sub_w)
-
-        if self.module.ll_mode == "ar":
-            ll_hat = self._decode_ar_ll(ll_shape)
-        else:
-            ll_hat = self._decode_fourstep("ll", ll_shape, None, None,
-                                           q_index, qp_scale)
-        subbands_hat[L - 1]["ll"] = ll_hat
-
-        ctx_init = self._jit(
-            "ctx_init", lambda p, like: self.module.apply(
-                p, like, method=PWave.ctx_init))
-        states = ctx_init(self.params, ll_hat)
-
-        step_fns = {}
-
-        def ctx_step(subband, states, up):
-            key = ("ctx_step", up, subband.shape)
-            if key not in step_fns:
-                step_fns[key] = self._jit(
-                    key, lambda p, sb, st, u=up: self.module.apply(
-                        p, sb, st, u, method=PWave.ctx_step))
-            return step_fns[key](self.params, subband, states)
-
-        context, states = ctx_step(ll_hat, states, None)
-
-        for lvl in range(L - 1, -1, -1):
-            sh = new_h // (2 ** (lvl + 1))
-            sw = new_w // (2 ** (lvl + 1))
-            for sidx, band in enumerate(BANDS):
-                ctx = jnp.split(context, 3, axis=1)[sidx]
-                prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
-                s_hat = self._decode_fourstep(
-                    f"{lvl}_{band}", (batch, 1, sh, sw), ctx, prev,
-                    q_index, qp_scale)
-                subbands_hat[lvl][band] = s_hat
-                up = lvl - 1 if (band == "hh" and lvl > 0) else None
-                context, states = ctx_step(s_hat, states, up)
-
-        qp = None if qp_scale is None else jnp.float32(qp_scale)
-        if qp is None:
-            recon = self._jit(
-                ("reconstruct", L),
-                lambda p, sb, q: self.module.apply(
-                    p, sb, q, method=PWave.reconstruct))
-            x_hat = recon(self.params, subbands_hat, jnp.float32(q_index))
-        else:
-            recon = self._jit(
-                ("reconstruct_qp", L),
-                lambda p, sb, q, qs: self.module.apply(
-                    p, sb, q, qs, method=PWave.reconstruct))
-            x_hat = recon(self.params, subbands_hat, jnp.float32(q_index), qp)
+        subbands_hat, _ = self._code_planes(num_channels, new_h, new_w)
+        x_hat = self._reconstruct(subbands_hat, q_index, qp_scale)
         return {"x_hat": x_hat}

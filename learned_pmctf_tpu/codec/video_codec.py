@@ -30,6 +30,7 @@ from ..entropy.coder import (
 from ..models.pmctf import PMCTF
 from ..models.pwave import PWave
 from ..models.mv_coder import (
+    MASK_SCHEDULE,
     four_part_prior_decode_scales,
     four_part_prior_scatter,
 )
@@ -92,55 +93,22 @@ class PMCTFCodec:
                     cdf, cdf_len, off, self.module.channel_mv, self.coder)
 
     # ---- motion streams -------------------------------------------------------
+    #
+    # Same encode-as-decode replay as PWaveCodec (see codec/image_codec.py):
+    # compress runs the decoder's own prior/head/body/tail executables with
+    # teacher-forced symbols computed on-device from the latent, so encoder
+    # and decoder parameters are bit-identical by construction. Only the
+    # latent program (mv_latent_planes) and the per-step symbol extraction
+    # are encoder-side.
 
-    @f32_streams
-    def compress_mv(self, ref_y, cur_y, dpb, stage_idx: int = 0,
-                    q_index: int = 0, me_downsample: int = 1):
-        """ref: pMCTF_L.py:448-495."""
-        stage = self.module.me_index(stage_idx)
-        fn = self._jit(
-            ("mv_compress", stage, me_downsample, dpb["mv_feature"] is None,
-             dpb.get("ref_mv_y") is None),
-            lambda p, r, c, d, q: self.module.apply(
-                p, r, c, d, stage, q, me_downsample,
-                method=PMCTF.mv_compress_planes))
-        out = fn(self.params, ref_y, cur_y, dpb, jnp.float32(q_index))
+    def _mv_code(self, stage: int, mv_params, q_index, me_downsample: int,
+                 teacher_y=None):
+        """Code the MV latent through the quad four-part prior.
 
-        self.coder.reset()
-        self._mv_coders[stage].encode(np.asarray(out["mv_z_hat"]))
-        for k in range(4):
-            idx = build_indexes_from_scales(out["scales"][k])
-            self.coder.encode_with_indexes(
-                np.asarray(out["symbols"][k]).reshape(-1),
-                np.asarray(idx).reshape(-1),
-                self.em._cdf, self.em._cdf_length, self.em._offset)
-        self.coder.flush()
-        return {
-            "bit_stream": self.coder.get_encoded_stream(),
-            "mv_hat": out["mv_hat"],
-            "mv_feature": out["mv_feature"],
-            "mv_y_hat": out["mv_y_hat"],
-        }
-
-    @f32_streams
-    def decompress_mv(self, stream: bytes, height: int, width: int, dpb,
-                      stage_idx: int = 0, q_index: int = 0,
-                      me_downsample: int = 1):
-        """ref: pMCTF_L.py:497-523."""
-        stage = self.module.me_index(stage_idx)
-        self.coder.set_stream(stream)
-        zh, zw = get_downsampled_shape(int(height), int(width), 64)
-        mv_z_hat = jnp.asarray(self._mv_coders[stage].decode_stream((zh, zw)))
-
-        prior = self._jit(
-            ("mv_prior", stage, dpb.get("ref_mv_y") is None),
-            lambda p, z, d: self.module.apply(
-                p, z, d, stage, method=PMCTF.mv_prior_params))
-        mv_params = prior(self.params, mv_z_hat, dpb)
-
-        # Same fusion as PWaveCodec._decode_fourstep: the sequential floor
-        # is 4 rANS calls; everything between two calls (scatter of pass k,
-        # spatial prior k, index extraction of pass k+1) is ONE program.
+        teacher_y=None: decode mode (4 rANS calls, the sequential floor —
+        everything between two calls is ONE fused program). Otherwise:
+        encode replay of the same executables; returns the 4 (vals, idx)
+        device-array pairs in stream order as plan."""
         h, w = mv_params.shape[2], mv_params.shape[3]
 
         def _idx(sq, k):
@@ -165,12 +133,31 @@ class PMCTFCodec:
                 p, yh, mp, stage, k, method=PMCTF.mv_decode_spatial)
             return yh, _idx(tuple(scales_q), k + 1), tuple(means_q)
 
+        # teacher symbols: the dense per-step plane of _mask_process
+        # (mv_coder.py:144-150) — each spatial phase carries exactly one
+        # channel quarter under MASK_SCHEDULE, so the sum is dense.
+        def vals_fn(y, qd, mq, k):
+            masks = checkerboard_masks(y.shape[2], y.shape[3], jnp.float32)
+            ys = jnp.split(y * (1.0 / qd), 4, axis=1)
+            out = 0.0
+            for i in range(4):
+                m = masks[MASK_SCHEDULE[k][i]]
+                out = out + jnp.round((ys[i] - mq[i] * m) * m)
+            return out
+
+        plan = None if teacher_y is None else []
         y_hat_so_far = None
         for step in range(4):
-            vals = self.coder.decode_stream(
-                np.asarray(idx), self.em._cdf, self.em._cdf_length,
-                self.em._offset)
-            vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            if teacher_y is None:
+                vals = self.coder.decode_stream(
+                    np.asarray(idx), self.em._cdf, self.em._cdf_length,
+                    self.em._offset)
+                vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
+            else:
+                vf = self._jit(("mv_vals", step),
+                               lambda y, qd, mq, s=step: vals_fn(y, qd, mq, s))
+                vals = vf(teacher_y, q_dec, means_q)
+                plan.append((vals, idx))
             body = self._jit(
                 ("mv_body", stage, step, y_hat_so_far is None),
                 lambda p, yh, v, mq, mp, s=step: body_fn(p, yh, v, mq, mp, s))
@@ -188,7 +175,62 @@ class PMCTFCodec:
                 p, y, stage, q, me_downsample, method=PMCTF.mv_decode_tail))
         mv_hat, mv_feature = tail(self.params, mv_y_hat, jnp.float32(q_index))
         return {"mv_hat": mv_hat, "mv_feature": mv_feature,
-                "mv_y_hat": mv_y_hat}
+                "mv_y_hat": mv_y_hat, "plan": plan}
+
+    @f32_streams
+    def compress_mv(self, ref_y, cur_y, dpb, stage_idx: int = 0,
+                    q_index: int = 0, me_downsample: int = 1):
+        """ref: pMCTF_L.py:448-495."""
+        stage = self.module.me_index(stage_idx)
+        lat = self._jit(
+            ("mv_latents", stage, me_downsample, dpb["mv_feature"] is None),
+            lambda p, r, c, d, q: self.module.apply(
+                p, r, c, d, stage, q, me_downsample,
+                method=PMCTF.mv_latent_planes))
+        mv_y, mv_z_hat = lat(self.params, ref_y, cur_y, dpb,
+                             jnp.float32(q_index))
+
+        prior = self._jit(
+            ("mv_prior", stage, dpb.get("ref_mv_y") is None),
+            lambda p, z, d: self.module.apply(
+                p, z, d, stage, method=PMCTF.mv_prior_params))
+        mv_params = prior(self.params, mv_z_hat, dpb)
+
+        out = self._mv_code(stage, mv_params, q_index, me_downsample,
+                            teacher_y=mv_y)
+
+        # bulk readback + host rANS streaming (z symbols are exact
+        # integers, so the factorized stream never needs a replay)
+        self.coder.reset()
+        self._mv_coders[stage].encode(np.asarray(mv_z_hat))
+        for vals, idx in out.pop("plan"):
+            self.coder.encode_with_indexes(
+                np.asarray(vals).astype(np.int32).reshape(-1),
+                np.asarray(idx).reshape(-1),
+                self.em._cdf, self.em._cdf_length, self.em._offset)
+        self.coder.flush()
+        out["bit_stream"] = self.coder.get_encoded_stream()
+        return out
+
+    @f32_streams
+    def decompress_mv(self, stream: bytes, height: int, width: int, dpb,
+                      stage_idx: int = 0, q_index: int = 0,
+                      me_downsample: int = 1):
+        """ref: pMCTF_L.py:497-523."""
+        stage = self.module.me_index(stage_idx)
+        self.coder.set_stream(stream)
+        zh, zw = get_downsampled_shape(int(height), int(width), 64)
+        mv_z_hat = jnp.asarray(self._mv_coders[stage].decode_stream((zh, zw)))
+
+        prior = self._jit(
+            ("mv_prior", stage, dpb.get("ref_mv_y") is None),
+            lambda p, z, d: self.module.apply(
+                p, z, d, stage, method=PMCTF.mv_prior_params))
+        mv_params = prior(self.params, mv_z_hat, dpb)
+
+        out = self._mv_code(stage, mv_params, q_index, me_downsample)
+        out.pop("plan")
+        return out
 
     # ---- one temporal stage ---------------------------------------------------
 

@@ -156,13 +156,16 @@ def four_part_prior_forward(
     adaptors: Sequence[Callable],
     spatial_prior: Callable,
     training: bool = True,
-    write: bool = False,
 ):
-    """Forward/compress of the quad prior. ref: four_part_prior.py:89-208.
+    """Training/estimation forward of the quad prior.
 
-    adaptors: 3 callables (1x1 convs) mapping cat(y_hat_so_far, common)
-    to the spatial-prior input; spatial_prior maps that to 8 chunks
-    (scales x4, means x4).
+    ref: four_part_prior.py:89-208. adaptors: 3 callables (1x1 convs)
+    mapping cat(y_hat_so_far, common) to the spatial-prior input;
+    spatial_prior maps that to 8 chunks (scales x4, means x4).
+
+    The real-bitstream encode does NOT use this function: it replays the
+    decoder's executables with teacher-forced symbols (see
+    codec/video_codec.py _mv_code) so both sides are bit-identical.
     """
     q_enc, q_dec, scales, means = separate_prior_enc_dec(common_params)
     _, _, h, w = y.shape
@@ -177,11 +180,10 @@ def four_part_prior_forward(
     q_acc = [None] * 4
     hat_acc = [None] * 4
     shat_acc = [None] * 4
-    write_syms, write_scales = [], []
     y_hat_so_far = None
 
     for step in range(4):
-        step_syms, step_scales, step_hats = 0.0, 0.0, []
+        step_hats = []
         for i in range(4):
             m = masks[MASK_SCHEDULE[step][i]]
             y_res, y_q, y_hat, s_hat = _mask_process(
@@ -190,12 +192,7 @@ def four_part_prior_forward(
             q_acc[i] = y_q if q_acc[i] is None else q_acc[i] + y_q
             hat_acc[i] = y_hat if hat_acc[i] is None else hat_acc[i] + y_hat
             shat_acc[i] = s_hat if shat_acc[i] is None else shat_acc[i] + s_hat
-            step_syms = step_syms + y_q
-            step_scales = step_scales + s_hat
             step_hats.append(y_hat)
-        if write:
-            write_syms.append(step_syms)
-            write_scales.append(step_scales)
         y_hat_curr = jnp.concatenate(step_hats, axis=1)
         y_hat_so_far = y_hat_curr if y_hat_so_far is None else y_hat_so_far + y_hat_curr
         if step < 3:
@@ -206,8 +203,6 @@ def four_part_prior_forward(
             scales_q, means_q = chunks[:4], chunks[4:]
 
     y_hat = jnp.concatenate(hat_acc, axis=1) * q_dec
-    if write:
-        return tuple(write_syms), tuple(write_scales), y_hat
     y_res = jnp.concatenate(res_acc, axis=1)
     y_q = jnp.concatenate(q_acc, axis=1)
     scales_hat = jnp.concatenate(shat_acc, axis=1)

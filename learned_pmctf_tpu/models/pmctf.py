@@ -352,14 +352,18 @@ class PMCTF(nn.Module):
     # ---- jittable sub-graphs for the host bitstream path -------------------------
 
     @policy_scope
-    def mv_compress_planes(self, ref_y, cur_y, dpb, stage_idx: int, q_index,
-                           me_downsample: int = 1):
-        """One-pass MV encode: all symbol/scale planes + decoded motion.
+    def mv_latent_planes(self, ref_y, cur_y, dpb, stage_idx: int, q_index,
+                         me_downsample: int = 1):
+        """Teacher latent for the MV encode-as-decode replay: (mv_y, mv_z_hat).
 
-        ref: pMCTF_L.py:448-495 compress_mv, restructured so the host does
-        a single device call then streams to rANS."""
+        Everything downstream — prior, four-part head/body, decoder tail —
+        runs through the decoder's own executables during compress
+        (codec/video_codec.py), so encoder and decoder are bit-identical by
+        construction; this program only produces the quantities the decoder
+        never computes. ref: pMCTF_L.py:448-495 compress_mv (the reference
+        encodes with the same torch modules it decodes with)."""
         me_num = self.me_index(stage_idx)
-        mv_y_q_enc, mv_y_q_dec = self.get_mv_y_q(q_index, me_num)
+        mv_y_q_enc, _ = self.get_mv_y_q(q_index, me_num)
 
         mv_cur = self._me_input(cur_y)
         mv_ref = self._me_input(ref_y)
@@ -370,26 +374,7 @@ class PMCTF(nn.Module):
         est_mv = self.optic_flow(mv_cur, mv_ref)
         mv_y = self.mv_encoder[me_num](est_mv, dpb.get("mv_feature"), mv_y_q_enc)
         mv_z = self.mv_hyper_enc[me_num](mv_y)
-        mv_z_hat = jnp.round(mv_z)
-
-        mv_params = self.mv_prior_param_decoder(mv_z_hat, dpb, me_num)
-        syms, scales, mv_y_hat = four_part_prior_forward(
-            mv_y, mv_params,
-            self.mv_spatial_adaptors[me_num], self.mv_spatial_prior[me_num],
-            training=False, write=True)
-
-        mv_hat, mv_feature = self.mv_decoder[me_num](mv_y_hat, mv_y_q_dec)
-        if me_downsample > 1:
-            mv_hat = bilinear_upsample(mv_hat, me_downsample) * me_downsample
-
-        return {
-            "mv_z_hat": mv_z_hat,
-            "symbols": syms,
-            "scales": scales,
-            "mv_y_hat": mv_y_hat,
-            "mv_hat": mv_hat,
-            "mv_feature": mv_feature,
-        }
+        return mv_y, jnp.round(mv_z)
 
     @policy_scope
     def mv_prior_params(self, mv_z_hat, dpb, stage_idx: int):

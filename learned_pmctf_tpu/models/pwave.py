@@ -24,7 +24,6 @@ import flax.linen as nn
 
 from ..ops.quant import ste_round, ste_clamp
 from ..entropy.distributions import laplace_bits
-from ..entropy.coder import build_indexes_from_scales
 from .wavelet import LiftingScheme2D
 from .postprocess import PostProcess
 from .context import SubbandContext, ContextFusionSubband, ContextFusionFourStep
@@ -227,89 +226,32 @@ class PWave(nn.Module):
     # ---- jittable sub-graphs for the host coding loops -----------------------
 
     @policy_scope
-    def encode_planes(self, x, q_index=None, qp_scale=None):
-        """One-pass teacher-forced encode: everything the host needs to
-        write the bitstream for one image, in a single device program.
+    def quantize_planes(self, x, q_index=None, qp_scale=None):
+        """Quantized (continuous, pre-round) subbands in coding order.
 
-        Returns (plan, x_hat) where plan is a list of per-subband dicts in
-        coding order; each holds the 4 write-step symbol planes and scale
-        planes plus the reconstructed subband.
+        These are the teacher inputs for the codec's encode-as-decode
+        replay (codec/image_codec.py): everything downstream of
+        quantization — context chain, parameter nets, index extraction —
+        runs through the SAME jitted sub-graphs during compress as during
+        decompress, so encoder and decoder are bit-identical by
+        construction. (Evaluating the parameter nets inside a separate
+        fused encode program diverges from the decoder's standalone
+        programs at the ulp level, which at 1080p symbol counts flips a
+        round()/index somewhere and desyncs the range coder.)
+
+        ref: pWave.py:381-459 — the reference encodes with the same
+        modules it decodes with; this is the XLA-program equivalent of
+        that guarantee.
         """
         q_scale, q_scale_ll = self.current_q(q_index, qp_scale)
         y = self.analysis(x)
         L = self.decomp_levels
-        plan = []
-        subbands_hat: Dict[int, Dict[str, jnp.ndarray]] = {l: {} for l in range(L)}
-
-        ll = self.quantize_subband(y[L - 1]["ll"], q_scale_ll)
-        if self.ll_mode == "ar":
-            # Rounded-means reconstruction makes teacher-forcing exact:
-            # symbol = round(ll) - round(means) -> decoder rec == round(ll)
-            # at every pixel, so ONE vectorized pass encodes the subband
-            # (see codec/image_codec.py; the masked convs are strictly
-            # causal so the decoder reproduces identical parameters).
-            ll_int = jnp.round(ll)
-            params = self.context_fusion["ll"](ll_int)
-            scales, means = jnp.split(params, 2, axis=1)
-            symbols = ll_int - jnp.round(means)
-            # pixel-major (H, W, B, C) order so the decoder can pull all
-            # batch entries of one pixel per rANS call. (Entries carry only
-            # arrays — jit outputs must be array pytrees; the host knows
-            # the plan layout from the module config.)
-            plan.append({
-                "symbols": symbols.transpose(2, 3, 0, 1).astype(jnp.int32),
-                "indexes": build_indexes_from_scales(scales).transpose(2, 3, 0, 1),
-            })
-            ll_hat = ll_int
-        else:
-            out = self.context_fusion["ll"].compress(ll)
-            plan.append(self._fourstep_plan_entry(out))
-            ll_hat = out[8]
-        subbands_hat[L - 1]["ll"] = ll_hat
-
-        b, _, h, w = ll.shape
-        states = self.context_prediction.init_states(b, h, w, ll.dtype)
-        context, states = self.context_prediction.step(ll_hat, states)
-
+        planes = {"ll": self.quantize_subband(y[L - 1]["ll"], q_scale_ll)}
         for lvl in range(L - 1, -1, -1):
-            for sidx, band in enumerate(BANDS):
-                ctx = jnp.split(context, 3, axis=1)[sidx]
-                prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
-                s_curr = self.quantize_subband(y[lvl][band], q_scale)
-                out = self.context_fusion[f"{lvl}_{band}"].compress(
-                    s_curr, context=ctx, prev_subband=prev)
-                plan.append(self._fourstep_plan_entry(out))
-                s_hat_band = out[8]
-                subbands_hat[lvl][band] = s_hat_band
-                up = lvl - 1 if (band == "hh" and lvl > 0) else None
-                context, states = self.context_prediction.step(
-                    s_hat_band, states, upsample_level=up)
-
-        rec = {l: {} for l in range(L)}
-        for lvl in range(L):
-            for band, sb in subbands_hat[lvl].items():
-                q = q_scale_ll if band == "ll" else q_scale
-                rec[lvl][band] = self.dequantize_subband(sb, q)
-        x_hat = self.postprocess(self.synthesis(rec))
-        return plan, x_hat
-
-    @staticmethod
-    def _fourstep_plan_entry(out):
-        """Compact write-mode planes to dense quarter planes + rANS indexes.
-
-        The checkerboard phase of step k is a plain 2x2 slice, so the host
-        rANS sees 4x fewer symbols than the reference's full-plane coding
-        (zeros off-mask cost ~0 bits but O(n) host time there).
-        Phase order matches ops.masks.checkerboard_masks.
-        """
-        phases = ((0, 0), (0, 1), (1, 0), (1, 1))
-        symbols, indexes = [], []
-        for k, (my, mx) in enumerate(phases):
-            sym = out[k][:, :, my::2, mx::2]
-            scl = out[4 + k][:, :, my::2, mx::2]
-            symbols.append(sym.astype(jnp.int32))
-            indexes.append(build_indexes_from_scales(scl))
-        return {"symbols": tuple(symbols), "indexes": tuple(indexes)}
+            for band in BANDS:
+                planes[f"{lvl}_{band}"] = self.quantize_subband(
+                    y[lvl][band], q_scale)
+        return planes
 
     # Decoder-side sub-graphs (called by codec/image_codec.py):
 
