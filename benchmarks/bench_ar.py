@@ -1,7 +1,8 @@
 """Time the reference-parity AR LL mode at 1080p (VERDICT r2 item 7).
 
 The 'ar' ll_mode is what any BD-rate comparison against the reference
-checkpoint will run. Encode is one teacher-forced device program (cheap);
+checkpoint will run. Encode replays the decoder's executables with
+teacher-forced symbols (bit-exact by construction, one bulk readback);
 decode walks ~2H+W anti-diagonal wavefronts (72x120 LL at padded 1080p ->
 262 fronts), each costing one device dispatch + one host readback + one
 rANS call. Through the axon tunnel a readback is ~38-70 ms, so the AR LL

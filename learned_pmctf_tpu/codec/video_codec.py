@@ -4,8 +4,9 @@ Orchestrates MV coding (factorized hyper-latent + quad four-part prior)
 and the per-stage L/H band coding through two PWaveCodec instances.
 
 ref: pMCTF/models/video/pMCTF_L.py:398-637 (compress_mv/decompress_mv/
-compress_one_stage/decompress_one_stage/encode_one_stage), restructured
-so each encode is a single device program followed by host rANS, and each
+compress_one_stage/decompress_one_stage/encode_one_stage). Encode is a
+replay of the decoder's own jitted executables with teacher-forced
+symbols (bit-exact by construction, one bulk readback before host rANS);
 decode alternates small jitted parameter graphs with 4 rANS round trips.
 """
 
