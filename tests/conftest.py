@@ -27,6 +27,11 @@ from learned_pmctf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (big compiles / full pipelines)")
+
+
 SANITIZED_CPU_ENV = {
     **{k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"},
     "JAX_PLATFORMS": "cpu",
