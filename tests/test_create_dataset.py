@@ -1,18 +1,17 @@
-"""End-to-end validation of the dataset-creation pipeline on real imagery.
+"""Dataset-creation pipeline validation on synthetic video.
 
-Synthesizes a multi-shot "video" (PNG frame dir: three shots with hard
-cuts, low-frequency textures, in-shot translation), then drives the full
-offline pipeline: shot detection + clip extraction -> GIST near-duplicate
-exclusion -> exclusion apply -> per-clip SpyNet flow stats.
-ref: create-dataset/extract_clips.py, gist_shot_exclusion.py,
-average_flow.py (TransNetV2/lear_gist replaced by dependency-free
-detectors — see create_dataset/README.md).
+Exercises the offline vimeo-32 pipeline (create_dataset/) end-to-end on a
+generated 3-scene video: shot detection must find the histogram+SAD cuts,
+clip extraction must respect shot bounds and the 32-frame minimum, GIST
+exclusion must flag exactly the near-duplicate clip, and deletion must
+apply the exclusion list. ref: create-dataset/extract_clips.py:9-50,
+gist_shot_exclusion.py:16-36, delete_excluded_shots.py.
 """
 
+import glob
 import json
 import os
 import os.path as osp
-import shutil
 import subprocess
 import sys
 
@@ -20,113 +19,107 @@ import numpy as np
 import pytest
 from PIL import Image
 
-REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
-sys.path.insert(0, osp.join(REPO, "create_dataset"))
-
-W, H = 448, 256
-SHOT_LEN = 36
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def _shot_texture(seed: int) -> np.ndarray:
-    """Low-frequency RGB texture: translation keeps SAD/histograms stable
-    within a shot while different seeds produce distinct scenes."""
-    rng = np.random.default_rng(seed)
-    small = rng.uniform(0, 255, (8, 14, 3)).astype(np.uint8)
-    img = Image.fromarray(small).resize((2 * W, H), Image.BILINEAR)
-    return np.asarray(img)
+def _write_scenes(vdir):
+    """120 frames: scene A (0-47, bright/red), cut, scene B (48-99,
+    dark/blue), cut, scene C (100-119, too short for a clip)."""
+    rng = np.random.default_rng(0)
+    h, w = 256, 448
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    tex_a = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+    tex_b = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+    for i in range(120):
+        if i < 48:
+            base = np.stack([np.full_like(xx, 220),
+                             (xx * 0.3 + 3 * i) % 80 + 120,
+                             np.full_like(xx, 180)], -1) + tex_a
+        elif i < 100:
+            base = np.stack([np.full_like(xx, 20),
+                             (yy * 0.3 + 2 * (i - 48)) % 60,
+                             np.full_like(xx, 90)], -1) + tex_b
+        else:
+            base = np.stack([np.full_like(xx, 100),
+                             np.full_like(xx, 180),
+                             (xx * 0.2 + 5 * i) % 60 + 60], -1)
+        Image.fromarray(np.clip(base, 0, 255).astype(np.uint8)).save(
+            osp.join(vdir, f"f{i:04d}.png"))
 
 
-def _make_video(video_dir: str) -> None:
-    os.makedirs(video_dir, exist_ok=True)
-    idx = 0
-    for shot, (seed, speed) in enumerate([(0, 3), (1, 2), (2, 0)]):
-        tex = _shot_texture(seed)
-        for t in range(SHOT_LEN):
-            frame = np.roll(tex, shift=speed * t, axis=1)[:, :W]
-            Image.fromarray(frame).save(
-                osp.join(video_dir, f"f{idx:05d}.png"))
-            idx += 1
+def _run(script, *args):
+    proc = subprocess.run(
+        [sys.executable, osp.join(ROOT, "create_dataset", script), *args],
+        capture_output=True, text=True, timeout=600, cwd=ROOT)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return proc.stdout
 
 
-@pytest.fixture(scope="module")
-def pipeline_dirs(tmp_path_factory):
-    root = tmp_path_factory.mktemp("vimeo32")
-    video_dir = str(root / "videos" / "synth0")
-    out_dir = str(root / "dataset")
-    _make_video(video_dir)
+def test_pipeline_end_to_end(tmp_path):
+    vdir = tmp_path / "videos" / "vid1"
+    vdir.mkdir(parents=True)
+    _write_scenes(str(vdir))
+    clips = tmp_path / "clips"
 
-    import extract_clips
-    extract_clips.main(["--videos", str(root / "videos"),
-                        "--out", out_dir, "--clip_len", "32"])
-    return root, out_dir
+    _run("extract_clips.py", "--videos", str(tmp_path / "videos"),
+         "--out", str(clips))
+    starts = []
+    src0 = np.asarray(Image.open(vdir / "f0000.png"))
+    src48 = np.asarray(Image.open(vdir / "f0048.png"))
+    folders = sorted(glob.glob(str(clips / "sequences" / "*" / "*")))
+    # scene A (48 frames) -> 1 clip; scene B (52) -> 1; scene C (20) -> 0
+    assert len(folders) == 2, folders
+    im_a = np.asarray(Image.open(osp.join(folders[0], "im1.png")))
+    im_b = np.asarray(Image.open(osp.join(folders[1], "im1.png")))
+    assert np.array_equal(im_a, src0)
+    assert np.array_equal(im_b, src48)
+    assert len(glob.glob(osp.join(folders[0], "im*.png"))) == 32
 
+    # near-duplicate of clip 0 -> must be the ONLY exclusion
+    dup = osp.join(osp.dirname(folders[0]), "0002")
+    os.makedirs(dup)
+    rng = np.random.default_rng(1)
+    for p in sorted(glob.glob(osp.join(folders[0], "im*.png"))):
+        a = np.asarray(Image.open(p)).astype(np.int16)
+        a = np.clip(a + rng.integers(-3, 4, a.shape), 0, 255)
+        Image.fromarray(a.astype(np.uint8)).save(
+            osp.join(dup, osp.basename(p)))
 
-def _clip_folders(out_dir):
-    seq = osp.join(out_dir, "sequences")
-    return sorted(
-        osp.join(seq, a, b)
-        for a in os.listdir(seq) for b in os.listdir(osp.join(seq, a)))
+    excl = tmp_path / "excluded.json"
+    out = _run("gist_shot_exclusion.py", "--data", str(clips),
+               "--out", str(excl))
+    assert "1 / 3" in out, out
+    assert json.load(open(excl)) == ["00000/0002"]
 
-
-def test_extract_clips_respects_shot_boundaries(pipeline_dirs):
-    _, out_dir = pipeline_dirs
-    clips = _clip_folders(out_dir)
-    # three 36-frame shots -> one 32-frame clip per shot, none straddling
-    assert len(clips) == 3
-    for folder in clips:
-        ims = sorted(os.listdir(folder))
-        assert len(ims) == 32 and ims[0] == "im1.png"
-        frames = [np.asarray(Image.open(osp.join(folder, f)), np.float32)
-                  for f in (ims[0], ims[-1])]
-        assert frames[0].shape == (H, W, 3)
-        # a straddled cut would make first/last frames unrelated scenes;
-        # within a shot the texture only translates, so the histogram
-        # distance stays tiny
-        import extract_clips
-        hd = float(np.abs(extract_clips.hsv_hist(frames[0].astype(np.uint8))
-                          - extract_clips.hsv_hist(frames[1].astype(np.uint8))
-                          ).sum()) / 6.0
-        assert hd < 0.2, (folder, hd)
-
-
-def test_gist_exclusion_flags_duplicate_and_delete_applies(pipeline_dirs):
-    _, out_dir = pipeline_dirs
-    clips = _clip_folders(out_dir)
-    # plant a near-duplicate: copy clip 0 under a new (later) key
-    dup = osp.join(out_dir, "sequences", "00099", "0000")
-    shutil.copytree(clips[0], dup)
-
-    import gist_shot_exclusion
-    excl_json = osp.join(out_dir, "excluded.json")
-    gist_shot_exclusion.main(["--data", out_dir, "--out", excl_json])
-    with open(excl_json) as f:
-        excluded = json.load(f)
-    assert "00099/0000" in excluded
-    # distinct scenes must NOT be excluded
-    originals = {"/".join(c.split("/")[-2:]) for c in clips}
-    assert not originals & set(excluded)
-
-    import delete_excluded_shots
-    delete_excluded_shots.main(["--data", out_dir, "--excluded", excl_json])
-    assert not osp.isdir(dup)
-    assert all(osp.isdir(c) for c in clips)
+    _run("delete_excluded_shots.py", "--data", str(clips),
+         "--excluded", str(excl))
+    assert sorted(osp.basename(f) for f in
+                  glob.glob(str(clips / "sequences" / "00000" / "*"))) == \
+        ["0000", "0001"]
 
 
 @pytest.mark.slow
-def test_average_flow_stats(pipeline_dirs):
-    """average_flow runs the framework SpyNet over every clip and writes
-    finite per-clip stats (random init — magnitudes are arbitrary but the
-    pipeline, shapes and JSON layout are exercised for real)."""
-    root, out_dir = pipeline_dirs
-    stats_json = str(root / "flow_stats.json")
+def test_average_flow_stats(tmp_path):
+    """average_flow runs the framework SpyNet over every extracted clip
+    and writes finite per-clip stats (random init — magnitudes are
+    arbitrary, but the real pipeline, shapes and JSON layout are
+    exercised). ref: create-dataset/average_flow.py:23-40."""
+    vdir = tmp_path / "videos" / "vid1"
+    vdir.mkdir(parents=True)
+    _write_scenes(str(vdir))
+    clips = tmp_path / "clips"
+    _run("extract_clips.py", "--videos", str(tmp_path / "videos"),
+         "--out", str(clips))
+
+    stats_json = str(tmp_path / "flow_stats.json")
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
-        [sys.executable, osp.join(REPO, "create_dataset", "average_flow.py"),
-         "--data", out_dir, "--out", stats_json],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+        [sys.executable, osp.join(ROOT, "create_dataset", "average_flow.py"),
+         "--data", str(clips), "--out", stats_json],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     with open(stats_json) as f:
         stats = json.load(f)
-    assert len(stats) == 3
+    assert sorted(stats) == ["00000/0000", "00000/0001"]
     assert all(np.isfinite(v) and v >= 0 for v in stats.values())
