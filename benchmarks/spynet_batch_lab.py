@@ -38,7 +38,7 @@ def main():
     enable_compilation_cache()
 
     g = np.random.default_rng(0)
-    module = MESpynet(levels=6, luma_mode=True)
+    module = MESpynet(levels=6, luma_mode=True, fast_warp=True)
     h, w = 1152, 1920
     x1 = jnp.asarray(g.random((1, 1, h, w)), jnp.float32)
     params = module.init(jax.random.PRNGKey(0), x1, x1)

@@ -82,7 +82,9 @@ class PMCTF(nn.Module):
                               act_bf16=self.act_bf16)
 
         self.optic_flow = MESpynet(levels=self.spynet_levels,
-                                   luma_mode=self.spynet_luma)
+                                   luma_mode=self.spynet_luma,
+                                   fast_warp=(self.warp_mode == "fast"),
+                                   fast_warp_disp=self.warp_max_disp)
 
         self.mv_encoder = [MvEnc(2, c_mv) for _ in range(n_stages)]
         self.mv_decoder = [MvDec(2, c_mv) for _ in range(n_stages)]

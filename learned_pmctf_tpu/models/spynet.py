@@ -54,10 +54,15 @@ class MESpynet(nn.Module):
 
     levels: int = 6
     luma_mode: bool = False
-    # fast_warp: the pyramid warps only feed the flow refiner (estimation,
-    # not reconstruction), so the gather-free separable warp is used —
-    # the TPU gather was the single hottest op in the whole codec.
-    fast_warp: bool = True
+    # fast_warp: use the gather-free separable warp inside the pyramid.
+    # The pyramid warps only feed the flow refiner (estimation, not
+    # reconstruction), so streams stay decodable either way, but the
+    # reference warps with exact bilinear at every level
+    # (pMCTF/layers/video/video_net.py:99-121) and real content at frame
+    # distance 8-16 exceeds the fast warp's ±fast_warp_disp clamp —
+    # default False (reference semantics); PMCTF wires this to its
+    # warp_mode so 'fast' opts the whole codec in coherently.
+    fast_warp: bool = False
     fast_warp_disp: int = 32
 
     def setup(self):

@@ -27,6 +27,9 @@ from .color import (  # noqa: F401
     rgb_to_ycbcr,
     ycbcr_to_rgb,
     yuv420_to_444,
+    yuv444_to_420,
+    rgb_to_ycbcr_studio,
+    ycbcr_to_rgb_studio,
     rgb_to_ycocg_lossless,
     ycocg_to_rgb_lossless,
 )

@@ -25,7 +25,7 @@ import numpy as np
 from learned_pmctf_tpu.utils.eval_json import (
     str2bool, create_folder, generate_log_json, dump_json)
 from learned_pmctf_tpu.utils.stream import get_padding_size
-from learned_pmctf_tpu.utils.yuv import YUVReader
+from learned_pmctf_tpu.utils.yuv import YUVReader, YUVWriter
 
 
 def parse_args(argv):
@@ -209,6 +209,13 @@ def run_test(codec, args, logger=print):
     psize = 128
     pl, pr, pt, pb = get_padding_size(args["src_height"], args["src_width"],
                                       p=psize)
+    # --save_decoded_frame: write the cropped reconstruction as a planar
+    # 4:2:0 .yuv next to the metrics (ref: test_pMCTF_flex.py:294-312 +
+    # :381-391 saves decoded frames under decoded_frame_path).
+    dec_writer = None
+    if args.get("decoded_frame_folder"):
+        dec_writer = YUVWriter(
+            os.path.join(args["decoded_frame_folder"], "decoded.yuv"))
     start_time = time.time()
     p_frames = 0
     enc_time = dec_time = 0.0
@@ -309,6 +316,16 @@ def run_test(codec, args, logger=print):
                        f"{bits[frame_idx] / frame_pixel_num:.4f} "
                        f"yuv-psnr {psnrs[frame_idx]:.3f} "
                        f"rgb-psnr {rgb_psnrs[frame_idx]:.3f}")
+            if dec_writer is not None:
+                y_np = np.clip(np.rint(np.asarray(y_rec[0, 0])),
+                               0, 255).astype(np.uint8)
+                y_np = y_np[pt:y_np.shape[0] - pb or None,
+                            pl:y_np.shape[1] - pr or None]
+                c_np = np.clip(np.rint(np.asarray(c_rec[:, 0])),
+                               0, 255).astype(np.uint8)
+                c_np = c_np[:, pt // 2:c_np.shape[1] - pb // 2 or None,
+                            pl // 2:c_np.shape[2] - pr // 2 or None]
+                dec_writer.write_one_frame(y_np, c_np[0], c_np[1])
 
     test_time = time.time() - start_time
     pad = frame_num - frame_num_eval
@@ -672,6 +689,11 @@ def main(argv):
                                               f"q{q_idx}")
                     create_folder(bin_folder, True)
                     cur["bin_folder"] = bin_folder
+                if args.save_decoded_frame:
+                    dec_folder = os.path.join(args.decoded_frame_path,
+                                              seq_name, f"q{q_idx}")
+                    create_folder(dec_folder, True)
+                    cur["decoded_frame_folder"] = dec_folder
                 print(f"CODING {seq_name} q_index={q_idx}")
                 if use_qbatch:
                     key = (ds_name, seq_name)

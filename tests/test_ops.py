@@ -169,3 +169,71 @@ def test_ycbcr_roundtrip_close():
     rgb = jnp.asarray(rng.uniform(16, 240, size=(1, 3, 8, 8)), jnp.float32)
     rec = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
     np.testing.assert_allclose(np.asarray(rec), np.asarray(rgb), atol=0.5)
+
+
+# ---- BT.601/709 studio-range + chroma subsampling golden tests ------------
+# Golden reference: /root/reference/pMCTF/utils/conversion.py (pure numpy,
+# loaded directly so the torch-importing pMCTF package is not touched).
+
+def _load_ref_conversion():
+    import importlib.util
+    path = "/root/reference/pMCTF/utils/conversion.py"
+    spec = importlib.util.spec_from_file_location("_ref_conversion", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_HAS_REF = __import__("os").path.isfile(
+    "/root/reference/pMCTF/utils/conversion.py")
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="reference tree not available")
+@pytest.mark.parametrize("flavor", [601, 709])
+def test_rgb_ycbcr_studio_golden(flavor):
+    """Bit-exact vs conversion.py rgb2ycbcr/ycbcr2rgb (both flavors)."""
+    from learned_pmctf_tpu.ops import rgb_to_ycbcr_studio, ycbcr_to_rgb_studio
+    ref = _load_ref_conversion()
+    rng = np.random.default_rng(7)
+    rgb_hwc = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+
+    want = ref.rgb2ycbcr(rgb_hwc, flavor=flavor)          # (H, W, 3) uint8
+    got = rgb_to_ycbcr_studio(
+        jnp.asarray(np.moveaxis(rgb_hwc, -1, 0).astype(np.float32)),
+        flavor=flavor)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(got), 0, -1).astype(np.uint8), want)
+
+    want_rgb = ref.ycbcr2rgb(want, flavor=flavor)
+    got_rgb = ycbcr_to_rgb_studio(
+        jnp.asarray(np.moveaxis(want, -1, 0).astype(np.float32)),
+        flavor=flavor)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(got_rgb), 0, -1).astype(np.uint8), want_rgb)
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="reference tree not available")
+def test_yuv444_to_420_golden():
+    """Chroma box-average+round matches conversion.py YCbCr4442YCbCr420."""
+    from learned_pmctf_tpu.ops import yuv444_to_420, yuv420_to_444
+    ref = _load_ref_conversion()
+    rng = np.random.default_rng(8)
+    ycbcr_hwc = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+
+    want_replicated = ref.YCbCr4442YCbCr420(ycbcr_hwc)    # 420 as 444 array
+    want_y, want_cb, want_cr = ref.YCbCr420_to_channels(want_replicated)
+
+    x = jnp.asarray(np.moveaxis(ycbcr_hwc, -1, 0).astype(np.float32))[None]
+    y, cb, cr = yuv444_to_420(x)
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 0]).astype(np.uint8), want_y)
+    np.testing.assert_array_equal(
+        np.asarray(cb[0, 0]).astype(np.uint8), want_cb)
+    np.testing.assert_array_equal(
+        np.asarray(cr[0, 0]).astype(np.uint8), want_cr)
+
+    # nearest-mode 420->444 matches the reference's 2x2 replication
+    up = yuv420_to_444(y, cb, cr, mode="nearest")
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(up[0]), 0, -1).astype(np.uint8),
+        want_replicated)

@@ -79,3 +79,37 @@ def test_seq_batch_matches_single_sequence(tiny_codec, tmp_path):
     # element-indexing bug collapsing every sequence onto element 0)
     assert (both[0][q_list[0]]["ave_all_frame_bpp"]
             != both[1][q_list[0]]["ave_all_frame_bpp"])
+
+
+def test_save_decoded_frame_writes_yuv(tiny_codec, tmp_path):
+    """--save_decoded_frame produces a decodable 4:2:0 .yuv of the
+    reconstruction (ref: test_pMCTF_flex.py:294-312, 381-391)."""
+    import test_pmctf_flex as flex
+    from learned_pmctf_tpu.utils.yuv import YUVReader
+
+    p = os.path.join(tmp_path, "src.yuv")
+    _write_yuv(p, seed=5)
+    dec_dir = os.path.join(tmp_path, "dec")
+    os.makedirs(dec_dir)
+
+    cur = _cur(p)
+    cur["q_idx"] = 10
+    cur["decoded_frame_folder"] = dec_dir
+    log = flex.run_test(tiny_codec, cur)
+    assert len(log["frame_psnr"]) == 4
+
+    out = os.path.join(dec_dir, "decoded.yuv")
+    assert os.path.getsize(out) == 4 * 64 * 64 * 3 // 2
+    r = YUVReader(out, 64, 64)
+    psnrs = []
+    src = YUVReader(p, 64, 64)
+    for _ in range(4):
+        y, cb, cr = r.read_one_frame()
+        ys, _, _ = src.read_one_frame()
+        assert y.shape == (64, 64) and cb.shape == (32, 32)
+        mse = np.mean((y.astype(np.float64) - ys.astype(np.float64)) ** 2)
+        psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
+    # reconstruction must resemble the source (not zeros/garbage): the
+    # run_test log's Y-ish PSNR and the file's Y PSNR are both finite and
+    # the file is not trivially identical to the source
+    assert all(np.isfinite(psnrs)) and min(psnrs) > 5.0

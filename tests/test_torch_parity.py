@@ -269,6 +269,63 @@ def test_spynet_parity(pair):
     _close(ours, _np(ref), tol=1e-3, what="spynet_flow")
 
 
+def test_spynet_large_displacement_exact_vs_fast(pair):
+    """exact warp_mode keeps the ME pyramid reference-faithful even when
+    intermediate flows exceed the fast warp's ±32 px clamp; fast mode is
+    the only divergent config (r3 verdict: fast_warp was hard-coded).
+
+    Surgery: pin the coarsest-level conv5 bias to +12 px in BOTH models —
+    the coarse flow then doubles through the upsample ladder (24, 48, 96,
+    ... px), far past the clamp, so the intra-pyramid warps matter.
+    ref: pMCTF/layers/video/video_net.py:99-121 (exact warp every level).
+    """
+    import copy
+    import torch
+    tm, module, params = pair
+    BIAS = 12.0
+    with torch.no_grad():
+        orig = tm.optic_flow.moduleBasic[0].conv5.bias.clone()
+        tm.optic_flow.moduleBasic[0].conv5.bias.fill_(BIAS)
+    try:
+        p2 = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, dict(params)))
+        b = p2["params"]["optic_flow"]["basic_0"]["conv5"]["bias"]
+        p2["params"]["optic_flow"]["basic_0"]["conv5"]["bias"] = (
+            jnp.full_like(b, BIAS))
+
+        # structured imagery (ramps + sinusoids): conv responses to the
+        # warped-input difference persist instead of averaging out the
+        # way i.i.d. noise does.
+        yy, xx = np.mgrid[0:128, 0:128].astype(np.float32)
+        im1 = (0.5 + 0.3 * np.sin(xx / 6) * np.cos(yy / 9)
+               + 0.2 * np.sin((xx + yy) / 17))[None, None].astype(np.float32)
+        im2 = (0.5 + 0.3 * np.sin((xx - 5) / 6) * np.cos((yy + 3) / 9)
+               + 0.2 * np.sin((xx + yy - 7) / 17))[None, None].astype(np.float32)
+        with torch.no_grad():
+            ref = tm.optic_flow(torch.tensor(np.tile(im1, (1, 3, 1, 1))),
+                                torch.tensor(np.tile(im2, (1, 3, 1, 1))))
+        assert float(_np(ref).max()) > 32.0  # the surgery produced big flows
+
+        exact = module.apply(p2, jnp.asarray(im1),
+                             method=lambda m, x: m.optic_flow(x, jnp.asarray(im2)))
+        _close(exact, _np(ref), tol=2e-3, what="spynet_large_disp_exact")
+
+        from learned_pmctf_tpu.models import PMCTF
+        fast_mod = PMCTF(decomp_levels=4, num_me_stages=2, ll_mode="ar",
+                         spynet_luma=True, warp_mode="fast")
+        fast = fast_mod.apply(p2, jnp.asarray(im1),
+                              method=lambda m, x: m.optic_flow(x, jnp.asarray(im2)))
+        # measured on this setup: exact err 1.5e-4, fast err 3.8e-2 — the
+        # clamp is the only thing separating the two configs.
+        assert float(np.max(np.abs(np.asarray(fast) - _np(ref)))) > 1e-2, (
+            "fast mode unexpectedly matched past the clamp")
+        # wiring: PMCTF.warp_mode drives the pyramid's warp choice
+        assert module.bind(params).optic_flow.fast_warp is False
+        assert fast_mod.bind(p2).optic_flow.fast_warp is True
+    finally:
+        with torch.no_grad():
+            tm.optic_flow.moduleBasic[0].conv5.bias.copy_(orig)
+
+
 def test_warp_parity(pair):
     import torch
     from pMCTF.layers.video.video_net import flow_warp as torch_flow_warp

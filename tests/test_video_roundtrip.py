@@ -106,6 +106,29 @@ def test_gop4_decode_matches_encoder_recon(codec, tmp_path):
             assert f1.read() == f2.read(), fn
 
 
+@pytest.mark.slow
+def test_bitstream_bytes_stable_across_processes(tmp_path):
+    """Byte-stability across FRESH processes (VERDICT r3 item 9): the
+    same 4-frame sequence encoded in two independent interpreters must
+    produce identical bytes — a determinism guard for the
+    encode-as-decode replay design against XLA/compile-cache drift."""
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "tests", "stability_encode_script.py")
+    hashes = []
+    for run in ("a", "b"):
+        proc = subprocess.run(
+            [_sys.executable, script, str(tmp_path / run)],
+            capture_output=True, text=True, timeout=1800, cwd=root)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("STREAM_SHA256")]
+        assert lines, proc.stdout[-2000:]
+        hashes.append(lines[-1].split()[1])
+    assert hashes[0] == hashes[1], hashes
+
+
 def test_gop4_temporal_decode_finite(codec, tmp_path):
     """Full inverse MCTF from decoded bands reproduces a finite GOP."""
     d = str(tmp_path / "t")
