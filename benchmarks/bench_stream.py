@@ -63,6 +63,8 @@ def main():
                         np.ones((1, 1, 8, 8))) + 128.0, 0, 255), jnp.float32)
         for _ in range(gop)]
 
+    decode_async = os.environ.get("PMCTF_BENCH_DEC_ASYNC", "1") == "1"
+
     def run_once(tmpdir):
         fl = list(luma)
         fc = list(chroma)
@@ -79,12 +81,17 @@ def main():
                     code_lt, dpb,
                     os.path.join(tmpdir, f"s{stage}_{gi}.bin"),
                     pic_width=w, pic_height=h, skip_decoding=False,
-                    stage_idx=stage, q_index=10)
+                    stage_idx=stage, q_index=10, decode_async=decode_async)
                 dpb = out["dpb"]
                 fl[fi], fl[fi + step] = out["L_t"], out["H_t"]
                 fc[fi], fc[fi + step] = out["L_tc"], out["H_tc"]
                 mvs[fi + step] = out["mv_hat"]
             pairs //= 2
+        if decode_async:
+            # overlapped pair decodes: wait + verify the roundtrip is
+            # still bit-exact (decoded == encoder-side recon)
+            for d in codec.drain_decodes():
+                assert d["max_err"] == 0.0, (d["name"], d["errs"])
         pairs = 1
         for stage in reversed(range(num_stages)):
             step = 2 ** stage

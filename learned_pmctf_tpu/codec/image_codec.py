@@ -78,10 +78,12 @@ class PWaveCodec:
                  stream_part: int = 2):
         self.module = module
         self.params = params
+        self._coder_args = (ec_thread, stream_part)
         self.coder = EntropyCoder(ec_thread, stream_part)
         self.em = GaussianEncoder("laplace")
         self.em.update(force=True, entropy_coder=self.coder)
         self._jits: Dict = {}
+        self._jits_lock = __import__("threading").Lock()
 
         # standalone fusion-module defs so decode sub-graphs are jitted
         # once per VARIANT (ll / top-level / lower-level) and shared
@@ -108,9 +110,19 @@ class PWaveCodec:
     # ---- jit cache ----------------------------------------------------------
 
     def _jit(self, key, fn, **jit_kwargs):
-        if key not in self._jits:
-            self._jits[key] = jax.jit(fn, **jit_kwargs)
-        return self._jits[key]
+        # lock: concurrent decode workers (see PMCTFCodec decode overlap)
+        # may race to populate a key; jax handles concurrent calls of one
+        # jitted wrapper, so only the dict insert needs guarding.
+        with self._jits_lock:
+            if key not in self._jits:
+                self._jits[key] = jax.jit(fn, **jit_kwargs)
+            return self._jits[key]
+
+    def make_coder(self) -> EntropyCoder:
+        """A fresh EntropyCoder (own native encoder/decoder state) so
+        independent streams can be coded concurrently from worker
+        threads. CDF tables (self.em) are read-only and shared."""
+        return EntropyCoder(*self._coder_args)
 
     def update(self, force: bool = False):
         self.em.update(force=force, entropy_coder=self.coder)
@@ -124,7 +136,7 @@ class PWaveCodec:
     # defers every readback to the streaming pass at the end.
 
     def _code_fourstep(self, key: str, shape, context, prev_subband,
-                       teacher=None):
+                       teacher=None, coder=None):
         """Code one four-step subband; returns (subband_hat, plan).
 
         teacher=None: decode mode — 4 rANS calls + 4 index readbacks (the
@@ -180,11 +192,12 @@ class PWaveCodec:
             my, mx = PHASES[k]
             return jnp.round(t[:, :, my::2, mx::2] - m[:, :, my::2, mx::2])
 
+        coder = coder or self.coder
         plan = None if teacher is None else []
         x_hat = jnp.zeros(shape, jnp.float32)
         for step in range(4):
             if teacher is None:
-                vals = self.coder.decode_stream(
+                vals = coder.decode_stream(
                     np.asarray(idx), self.em._cdf, self.em._cdf_length,
                     self.em._offset)
                 vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
@@ -220,11 +233,12 @@ class PWaveCodec:
                     jnp.round(sm[1]).astype(jnp.int32)]))(
                 self.module.apply(p, partial, method=PWave.ar_params)))
 
-    def _decode_ar_ll(self, shape):
+    def _decode_ar_ll(self, shape, coder=None):
         """Wavefront AR decode: one full-plane parameter evaluation + ONE
         rANS call per anti-diagonal front (see ar_wavefronts)."""
         # the t = 2r + c slope of ar_wavefronts assumes 3x3 masked kernels
         assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
+        coder = coder or self.coder
         b, c, h, w = shape
         plane_fn = self._ar_plane()
 
@@ -236,7 +250,7 @@ class PWaveCodec:
             # (n, b, c): front positions major, batch*channel minor —
             # matches the encoder's per-front symbol order
             idx = idx_plane[:, :, rows, cols].transpose(2, 0, 1)
-            vals = self.coder.decode_stream(
+            vals = coder.decode_stream(
                 idx.reshape(-1), self.em._cdf, self.em._cdf_length,
                 self.em._offset)
             vals = vals.reshape(idx.shape).astype(np.float32)
@@ -245,7 +259,8 @@ class PWaveCodec:
             ).transpose(1, 2, 0)
         return jnp.asarray(partial)
 
-    def _code_planes(self, batch: int, new_h: int, new_w: int, teachers=None):
+    def _code_planes(self, batch: int, new_h: int, new_w: int, teachers=None,
+                     coder=None):
         """The coding-order loop shared by compress and decompress.
 
         teachers=None decodes from self.coder; teachers=<quantize_planes
@@ -259,7 +274,7 @@ class PWaveCodec:
 
         if self.module.ll_mode == "ar":
             if teachers is None:
-                ll_hat = self._decode_ar_ll(ll_shape)
+                ll_hat = self._decode_ar_ll(ll_shape, coder=coder)
             else:
                 assert AR_MASKED_KERNEL == 3, AR_MASKED_KERNEL
                 ll_int = self._jit("ar_round", jnp.round)(teachers["ll"])
@@ -268,7 +283,8 @@ class PWaveCodec:
                 ll_hat = ll_int
         else:
             t = None if teachers is None else teachers["ll"]
-            ll_hat, plan = self._code_fourstep("ll", ll_shape, None, None, t)
+            ll_hat, plan = self._code_fourstep("ll", ll_shape, None, None, t,
+                                               coder=coder)
             if entries is not None:
                 entries.append(("fs", plan))
         subbands_hat[L - 1]["ll"] = ll_hat
@@ -296,7 +312,7 @@ class PWaveCodec:
                 prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
                 t = None if teachers is None else teachers[key]
                 s_hat, plan = self._code_fourstep(
-                    key, (batch, 1, sh, sw), ctx, prev, t)
+                    key, (batch, 1, sh, sw), ctx, prev, t, coder=coder)
                 if entries is not None:
                     entries.append(("fs", plan))
                 subbands_hat[lvl][band] = s_hat
@@ -384,17 +400,19 @@ class PWaveCodec:
     @f32_streams
     def decompress(self, file_name: Optional[str] = None, stream: bytes = None,
                    shape=None, padding: int = 128, q_index: int = 0,
-                   qp_scale=None):
+                   qp_scale=None, coder=None):
         """Decode a bitstream back to planes. ref: pWave.py:467-529."""
         if file_name is not None:
             height, width, num_channels, stream = decode_image(file_name)
         else:
             height, width, num_channels = shape
-        self.coder.set_stream(stream)
+        coder = coder or self.coder
+        coder.set_stream(stream)
 
         p = padding
         new_h = (height + p - 1) // p * p
         new_w = (width + p - 1) // p * p
-        subbands_hat, _ = self._code_planes(num_channels, new_h, new_w)
+        subbands_hat, _ = self._code_planes(num_channels, new_h, new_w,
+                                            coder=coder)
         x_hat = self._reconstruct(subbands_hat, q_index, qp_scale)
         return {"x_hat": x_hat}

@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Optional
 
 import numpy as np
@@ -56,10 +58,19 @@ class PMCTFCodec:
         # concurrently (byte format per py_rans.cpp:89-118).
         self.module = module
         self.params = params
+        self._coder_args = (ec_thread, stream_part)
         self.coder = EntropyCoder(ec_thread, stream_part)
         self.em = GaussianEncoder("laplace")
         self._jits: Dict = {}
+        self._jits_lock = threading.Lock()
         self._mv_coders: Dict[int, FactorizedCoder] = {}
+        # decode-overlap machinery (VERDICT r3 item 3): independent
+        # decode units (MV / luma bands / chroma bands, across pairs) run
+        # on worker threads with per-unit EntropyCoders, so one unit's
+        # host<->device rANS round trips overlap another unit's device
+        # programs instead of idling the chip.
+        self._decode_pool = None
+        self._pending_decodes = []
 
         pw_kwargs = dict(
             bitdepth=module.bitdepth, decomp_levels=module.decomp_levels,
@@ -73,9 +84,17 @@ class PMCTFCodec:
             ec_thread, stream_part)
 
     def _jit(self, key, fn, **kw):
-        if key not in self._jits:
-            self._jits[key] = jax.jit(fn, **kw)
-        return self._jits[key]
+        with self._jits_lock:
+            if key not in self._jits:
+                self._jits[key] = jax.jit(fn, **kw)
+            return self._jits[key]
+
+    def _pool(self):
+        if self._decode_pool is None:
+            workers = int(os.environ.get("PMCTF_DECODE_WORKERS", "4"))
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="pmctf-dec")
+        return self._decode_pool
 
     @f32_streams
     def update(self, force: bool = False):
@@ -103,7 +122,7 @@ class PMCTFCodec:
     # are encoder-side.
 
     def _mv_code(self, stage: int, mv_params, q_index, me_downsample: int,
-                 teacher_y=None):
+                 teacher_y=None, coder=None):
         """Code the MV latent through the quad four-part prior.
 
         teacher_y=None: decode mode (4 rANS calls, the sequential floor —
@@ -146,11 +165,12 @@ class PMCTFCodec:
                 out = out + jnp.round((ys[i] - mq[i] * m) * m)
             return out
 
+        coder = coder or self.coder
         plan = None if teacher_y is None else []
         y_hat_so_far = None
         for step in range(4):
             if teacher_y is None:
-                vals = self.coder.decode_stream(
+                vals = coder.decode_stream(
                     np.asarray(idx), self.em._cdf, self.em._cdf_length,
                     self.em._offset)
                 vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
@@ -216,12 +236,16 @@ class PMCTFCodec:
     @f32_streams
     def decompress_mv(self, stream: bytes, height: int, width: int, dpb,
                       stage_idx: int = 0, q_index: int = 0,
-                      me_downsample: int = 1):
+                      me_downsample: int = 1, coder=None):
         """ref: pMCTF_L.py:497-523."""
         stage = self.module.me_index(stage_idx)
-        self.coder.set_stream(stream)
+        coder = coder or self.coder
+        coder.set_stream(stream)
         zh, zw = get_downsampled_shape(int(height), int(width), 64)
-        mv_z_hat = jnp.asarray(self._mv_coders[stage].decode_stream((zh, zw)))
+        mvc = self._mv_coders[stage]
+        mv_z_hat = jnp.asarray(FactorizedCoder(
+            mvc._cdf, mvc._cdf_length, mvc._offset, mvc.channels,
+            coder).decode_stream((zh, zw)))
 
         prior = self._jit(
             ("mv_prior", stage, dpb.get("ref_mv_y") is None),
@@ -229,7 +253,8 @@ class PMCTFCodec:
                 p, z, d, stage, method=PMCTF.mv_prior_params))
         mv_params = prior(self.params, mv_z_hat, dpb)
 
-        out = self._mv_code(stage, mv_params, q_index, me_downsample)
+        out = self._mv_code(stage, mv_params, q_index, me_downsample,
+                            coder=coder)
         out.pop("plan")
         return out
 
@@ -277,27 +302,102 @@ class PMCTFCodec:
     @f32_streams
     def decompress_one_stage(self, file_name: str, code_lt: bool,
                              ischroma: bool, psize: int = 128,
-                             q_index: int = 0, stage_idx: int = 0):
-        """ref: pMCTF_L.py:422-439."""
+                             q_index: int = 0, stage_idx: int = 0,
+                             own_coders: bool = False):
+        """ref: pMCTF_L.py:422-439. own_coders=True gives each stream a
+        fresh EntropyCoder so this call can run on a worker thread."""
         qp_scale = self._hp_qp_scale(q_index, stage_idx)
         pad = psize // 2 if ischroma else psize
         h_t = self.hp_codec.decompress(
-            file_name, padding=pad, q_index=q_index, qp_scale=qp_scale)
+            file_name, padding=pad, q_index=q_index, qp_scale=qp_scale,
+            coder=self.hp_codec.make_coder() if own_coders else None)
         l_t = None
         if code_lt:
             file_name_l = file_name.replace(
                 osp.basename(file_name), "0_C_main.bin" if ischroma else "0_main.bin")
             l_t = self.lp_codec.decompress(
-                file_name_l, padding=pad, q_index=q_index)
+                file_name_l, padding=pad, q_index=q_index,
+                coder=self.lp_codec.make_coder() if own_coders else None)
         return {"L_t": l_t, "H_t": h_t}
+
+    def _submit_pair_decode(self, mv_out, output_path, file_name_c, code_lt,
+                            dpb, yshape, psize, stage_idx, q_index,
+                            me_downsample, expect):
+        """Queue the three independent decode units of one coded pair.
+
+        The MV unit chains through dpb: a standalone decoder would pass
+        its own previous decoded {mv_feature, mv_y_hat}; the encode-side
+        arrays handed in here are bit-identical to those (verified for
+        every pair at drain via the mv_y_hat check)."""
+        _, string = decode_p(mv_out)
+        f_mv = self._pool().submit(
+            self.decompress_mv, string, yshape[0], yshape[1], dpb,
+            stage_idx=stage_idx, q_index=q_index,
+            me_downsample=me_downsample,
+            coder=EntropyCoder(*self._coder_args))
+        f_l = self._pool().submit(
+            self.decompress_one_stage, output_path, code_lt, ischroma=False,
+            psize=psize, q_index=q_index, stage_idx=stage_idx,
+            own_coders=True)
+        f_c = self._pool().submit(
+            self.decompress_one_stage, file_name_c, code_lt, ischroma=True,
+            psize=psize, q_index=q_index, stage_idx=stage_idx,
+            own_coders=True)
+        self._pending_decodes.append(
+            {"name": output_path, "code_lt": code_lt,
+             "futures": (f_mv, f_l, f_c), "expect": expect})
+
+    def drain_decodes(self, check: bool = True):
+        """Wait for all deferred pair decodes (decode_async=True).
+
+        check=True also verifies decoded planes == the encoder-side
+        reconstructions already returned by encode_one_stage — the replay
+        design's bit-exactness invariant — via one small device program +
+        scalar readback per band. Returns a list of per-pair dicts
+        {"name", "errs", "max_err", "decoded"} and clears the queue."""
+        maxabs = self._jit(
+            "maxabs", lambda a, b: jnp.max(jnp.abs(a - b)))
+
+        def err(a, b):
+            return float(maxabs(a, b))
+
+        out = []
+        pend, self._pending_decodes = self._pending_decodes, []
+        for item in pend:
+            f_mv, f_l, f_c = item["futures"]
+            decoded, dec_l, dec_c = f_mv.result(), f_l.result(), f_c.result()
+            errs = {}
+            if check:
+                exp = item["expect"]
+                errs["mv_hat"] = err(decoded["mv_hat"], exp["mv_hat"])
+                errs["mv_y_hat"] = err(decoded["mv_y_hat"], exp["mv_y_hat"])
+                errs["H_t"] = err(dec_l["H_t"]["x_hat"], exp["H_t"])
+                errs["H_tc"] = err(dec_c["H_t"]["x_hat"], exp["H_tc"])
+                if item["code_lt"]:
+                    errs["L_t"] = err(dec_l["L_t"]["x_hat"], exp["L_t"])
+                    errs["L_tc"] = err(dec_c["L_t"]["x_hat"], exp["L_tc"])
+            out.append({"name": item["name"], "errs": errs,
+                        "max_err": max(errs.values()) if errs else 0.0,
+                        "decoded": {"mv": decoded, "luma": dec_l,
+                                    "chroma": dec_c}})
+        return out
 
     @f32_streams
     def encode_one_stage(self, ref_frame, cur_frame, code_lt: bool, dpb,
                          output_path: str, pic_width: int, pic_height: int,
                          psize: int = 128, skip_decoding: bool = False,
                          stage_idx: int = 0, q_index: int = 0,
-                         me_downsample: int = 1):
-        """Full stage encode (+ optional decode check). ref: pMCTF_L.py:525-637."""
+                         me_downsample: int = 1, decode_async: bool = False):
+        """Full stage encode (+ optional decode check). ref: pMCTF_L.py:525-637.
+
+        decode_async=True: the decode of this pair's three independent
+        streams (MV, luma bands, chroma bands) is submitted to the worker
+        pool and verified later by drain_decodes(); the returned planes
+        are the encoder-side reconstructions, which the replay design
+        makes bit-identical to the decoded ones (asserted at drain).
+        Decode round trips then overlap later pairs' encode programs —
+        the chip no longer idles during rANS waits (ref concept:
+        pMCTF/cpp/rans/rans.cpp:174-263 overlaps host entropy work)."""
         ref_y, ref_chroma = ref_frame
         cur_y, cur_chroma = cur_frame
 
@@ -331,27 +431,45 @@ class PMCTFCodec:
         bits_l_c = os.path.getsize(output_path.replace(
             osp.basename(output_path), "0_C_main.bin")) * 8.0 if code_lt else None
 
-        if not skip_decoding:
+        if not skip_decoding and not decode_async:
             start = time.time()
+            # the pair's three streams are independent — decode them
+            # concurrently with per-unit coders so their rANS round trips
+            # overlap each other's device programs
             _, string = decode_p(mv_out)
-            decoded = self.decompress_mv(
-                string, ref_y.shape[2], ref_y.shape[3], dpb,
-                stage_idx=stage_idx, q_index=q_index,
-                me_downsample=me_downsample)
+            f_mv = self._pool().submit(
+                self.decompress_mv, string, ref_y.shape[2], ref_y.shape[3],
+                dpb, stage_idx=stage_idx, q_index=q_index,
+                me_downsample=me_downsample, coder=EntropyCoder(*self._coder_args))
+            f_l = self._pool().submit(
+                self.decompress_one_stage, output_path, code_lt,
+                ischroma=False, psize=psize, q_index=q_index,
+                stage_idx=stage_idx, own_coders=True)
+            f_c = self._pool().submit(
+                self.decompress_one_stage, file_name_c, code_lt,
+                ischroma=True, psize=psize, q_index=q_index,
+                stage_idx=stage_idx, own_coders=True)
+            decoded, out_dec, out_dec_c = (
+                f_mv.result(), f_l.result(), f_c.result())
             mv_hat = decoded["mv_hat"]
             mv_feature = decoded["mv_feature"]
-            out_dec = self.decompress_one_stage(
-                output_path, code_lt, ischroma=False, psize=psize,
-                q_index=q_index, stage_idx=stage_idx)
-            out_dec_c = self.decompress_one_stage(
-                file_name_c, code_lt, ischroma=True, psize=psize,
-                q_index=q_index, stage_idx=stage_idx)
             decoding_time = time.time() - start
             l_t_rec = out_dec["L_t"]["x_hat"] if code_lt else out_l["L_t"]
             h_t_rec = out_dec["H_t"]["x_hat"]
             l_tc_rec = out_dec_c["L_t"]["x_hat"] if code_lt else out_c["L_t"]
             h_tc_rec = out_dec_c["H_t"]["x_hat"]
         else:
+            if not skip_decoding:  # decode_async: defer to drain_decodes
+                self._submit_pair_decode(
+                    mv_out, output_path, file_name_c, code_lt, dict(dpb),
+                    (ref_y.shape[2], ref_y.shape[3]), psize, stage_idx,
+                    q_index, me_downsample,
+                    expect={"mv_hat": mv_hat,
+                            "mv_y_hat": mv_y_hat,
+                            "H_t": out_l["H_t_hat"],
+                            "L_t": out_l["L_t_hat"] if code_lt else None,
+                            "H_tc": out_c["H_t_hat"],
+                            "L_tc": out_c["L_t_hat"] if code_lt else None})
             decoding_time = 0.0
             l_t_rec = out_l["L_t_hat"] if code_lt else out_l["L_t"]
             h_t_rec = out_l["H_t_hat"]

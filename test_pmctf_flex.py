@@ -56,6 +56,9 @@ def parse_args(argv):
                    help="use a distinct ME network for temporal stage >0 "
                         "(forces num_me_stages >= 2)")
     p.add_argument("--skip_decoding", action="store_true")
+    p.add_argument("--decode_async", type=str2bool, default=True,
+                   help="overlap pair decodes on worker threads "
+                        "(bit-exactness verified after each GOP)")
     p.add_argument("--num_me_stages", default=1, type=int)
     p.add_argument("--q_index_num", default=1, type=int)
     p.add_argument("--q_index", default=-1, type=int)
@@ -258,7 +261,8 @@ def run_test(codec, args, logger=print):
                         pic_width=args["src_width"],
                         pic_height=args["src_height"], psize=psize,
                         skip_decoding=args.get("skip_decoding", False),
-                        stage_idx=me_num, q_index=q_index)
+                        stage_idx=me_num, q_index=q_index,
+                        decode_async=args.get("decode_async", True))
                 else:
                     result = codec.estimate_one_stage(
                         frames[fi], frames[fi + step], code_lt, dpb,
@@ -280,6 +284,18 @@ def run_test(codec, args, logger=print):
                     bits[frame_idx] = float(result["bit_L"])
                     bpp_mv[frame_idx] = 0.0
             num_pairs //= 2
+
+        if write_stream and not args.get("skip_decoding", False) \
+                and args.get("decode_async", True):
+            # overlapped decode: wait for the deferred pair decodes and
+            # verify bit-exactness (decoded == the encoder-side recon the
+            # loop above fed forward — the replay design's invariant)
+            t0 = time.time()
+            for d in codec.drain_decodes():
+                if d["max_err"] != 0.0:
+                    raise RuntimeError(
+                        f"decode mismatch in {d['name']}: {d['errs']}")
+            dec_time += time.time() - t0
 
         # SYNTHESIS: temporal decoding
         num_pairs = 1
@@ -677,6 +693,7 @@ def main(argv):
                     "frame_num_seq": seq["frames"],
                     "write_stream": args.write_stream,
                     "skip_decoding": args.skip_decoding,
+                    "decode_async": args.decode_async,
                     "last_frames": args.last_frames,
                     "verbose": args.verbose,
                     "synthetic": args.synthetic,

@@ -96,8 +96,11 @@ def test_dryrun_multichip_subprocess():
     with a sanitized env so the axon TPU plugin is bypassed)."""
     if os.environ.get("PMCTF_SKIP_SLOW_TESTS"):
         pytest.skip("slow test disabled")
+    # dryrun_gate: additionally FAILS if the committed .dryrun_cache no
+    # longer serves the train-step compile (the r2/r3 silent-recompile
+    # failure mode) — re-warm and commit .dryrun_cache when this trips.
     proc = subprocess.run(
-        [sys.executable, "__graft_entry__.py", "dryrun", "8"],
+        [sys.executable, "__graft_entry__.py", "dryrun_gate", "8"],
         env=SANITIZED_CPU_ENV, capture_output=True, text=True, timeout=1500,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert "OK" in proc.stdout, proc.stdout + proc.stderr

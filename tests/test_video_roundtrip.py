@@ -106,6 +106,34 @@ def test_gop4_decode_matches_encoder_recon(codec, tmp_path):
             assert f1.read() == f2.read(), fn
 
 
+def test_gop4_decode_async_bit_exact(codec, tmp_path):
+    """Overlapped decode (decode_async=True + drain_decodes): all pair
+    decodes run on worker threads with per-unit coders and must still be
+    bit-exact vs the encoder-side reconstructions (VERDICT r3 item 3)."""
+    d = str(tmp_path / "async")
+    os.makedirs(d)
+    luma, chroma = _frames(4, seed=7)
+    fl, fc = list(luma), list(chroma)
+    pairs_per_stage = ((0, 1), (2, 3)), ((0, 2),)
+    for stage, pairs in enumerate(pairs_per_stage):
+        dpb = {"mv_feature": None, "ref_mv_y": None}
+        for a, b in pairs:
+            out = codec.encode_one_stage(
+                (fl[a], fc[a]), (fl[b], fc[b]), stage == 1, dpb,
+                output_path=os.path.join(d, f"s{stage}_{a}_{b}.bin"),
+                pic_width=W, pic_height=H, psize=H,
+                skip_decoding=False, stage_idx=stage, q_index=10,
+                decode_async=True)
+            dpb = out["dpb"]
+            fl[a], fl[b] = out["L_t"], out["H_t"]
+            fc[a], fc[b] = out["L_tc"], out["H_tc"]
+    results = codec.drain_decodes()
+    assert len(results) == 3
+    for r in results:
+        assert r["max_err"] == 0.0, (r["name"], r["errs"])
+    assert codec._pending_decodes == []
+
+
 @pytest.mark.slow
 def test_bitstream_bytes_stable_across_processes(tmp_path):
     """Byte-stability across FRESH processes (VERDICT r3 item 9): the
