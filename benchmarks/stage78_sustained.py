@@ -18,12 +18,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from stage78_smoke import DATA, INIT_CKPT, make_dataset, make_init_ckpt  # noqa: E402
+from stage78_smoke import INIT_CKPT, make_dataset, make_init_ckpt  # noqa: E402
+
+# 24 clips: the trainer caps steps/epoch at len(dataset)/batch, so the
+# 4-clip smoke tree silently shortens "20 steps/epoch" to 4 (observed in
+# the first r4 run). 24 clips / batch 1 >= the 20-step ask.
+DATA = "/tmp/vimeo_sustained24"
 
 
 def main():
     if not os.path.isdir(DATA):
-        make_dataset()
+        make_dataset(root=DATA, n_clips=24)
     if not os.path.isdir(INIT_CKPT):
         make_init_ckpt()
     cmd = [

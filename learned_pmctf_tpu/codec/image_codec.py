@@ -42,6 +42,34 @@ from ..utils.stream import encode_image, decode_image
 PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
+def bulk_fetch_int32(jit, arrays):
+    """Fetch many integer-valued device arrays in ONE host round trip.
+
+    Each separate np.asarray(device_array) costs a full tunnel RTT
+    (~40-70 ms through the axon relay); a 1080p plane-set's encode plan
+    is ~104 arrays, i.e. seconds of pure latency (measured:
+    benchmarks/stream_profile_lab.py — compress_luma 10.7 s warm). This
+    concatenates everything into one int32 vector on device (values are
+    exact integers by construction: rounded symbols, rANS indexes) and
+    slices the single readback on host.
+
+    jit: a `_jit(key, fn)`-style cache callable (both codec classes).
+    """
+    if not arrays:
+        return []
+    shapes = tuple(tuple(a.shape) for a in arrays)
+    fn = jit(("bulk_pack", shapes),
+             lambda ts: jnp.concatenate(
+                 [jnp.ravel(t).astype(jnp.int32) for t in ts]))
+    flat = np.asarray(fn(list(arrays)))
+    out, off = [], 0
+    for shp in shapes:
+        n = int(np.prod(shp))
+        out.append(flat[off:off + n].reshape(shp))
+        off += n
+    return out
+
+
 def ar_wavefronts(h: int, w: int):
     """Anti-diagonal wavefronts t = 2*row + col for the AR LL model.
 
@@ -339,11 +367,12 @@ class PWaveCodec:
 
     @f32_streams
     def compress(self, x, q_index: int, qp_scale=None,
-                 file_name: Optional[str] = None, sideinfo=None):
+                 file_name: Optional[str] = None, sideinfo=None, coder=None):
         """Encode padded planes x (B,1,H,W); returns encoder-side recon.
 
         sideinfo = (batch, num_channels, true_height, true_width) for the
-        container header (ref: pWave.py:381-459)."""
+        container header (ref: pWave.py:381-459). coder: a per-call
+        EntropyCoder so independent compresses can run concurrently."""
         qp = None if qp_scale is None else jnp.float32(qp_scale)
         if qp is None:
             fn = self._jit(
@@ -361,14 +390,27 @@ class PWaveCodec:
         b, _, h, w = x.shape
         subbands_hat, entries = self._code_planes(b, h, w, teachers=planes)
 
-        # bulk readback + host rANS streaming (the device is free here)
-        self.coder.reset()
+        # ONE packed readback for every stream-order payload (see
+        # bulk_fetch_int32), then host rANS streaming (device is free)
+        order = []
         for kind, payload in entries:
             if kind == "fs":
                 for vals, idx in payload:
-                    self.coder.encode_with_indexes(
-                        np.asarray(vals).astype(np.int32).reshape(-1),
-                        np.asarray(idx).reshape(-1),
+                    order.extend((vals, idx))
+            else:
+                ll_int, both = payload
+                order.extend((ll_int, both))
+        fetched = iter(bulk_fetch_int32(self._jit, order))
+
+        coder = coder or self.coder
+        coder.reset()
+        for kind, payload in entries:
+            if kind == "fs":
+                for _ in payload:
+                    vals = next(fetched)
+                    idx = next(fetched)
+                    coder.encode_with_indexes(
+                        vals.reshape(-1), idx.reshape(-1),
                         self.em._cdf, self.em._cdf_length, self.em._offset)
             else:  # AR: wavefront order, one encode call PER FRONT —
                 # mirrors _decode_ar_ll's call granularity: the
@@ -376,19 +418,19 @@ class PWaveCodec:
                 # across parts (csrc/rans_lib.cpp MultiEncoder::encode), so
                 # per-stream contents only match when encoder and decoder
                 # chunk the symbol sequence identically.
-                ll_int, both = payload
-                both = np.asarray(both)
+                ll_int = next(fetched)
+                both = next(fetched)
                 idxs = both[0]
-                syms = np.asarray(ll_int).astype(np.int32) - both[1]
+                syms = ll_int - both[1]
                 hh, ww = syms.shape[2:]
                 for rows, cols in ar_wavefronts(hh, ww):
                     s = syms[:, :, rows, cols].transpose(2, 0, 1)
                     i = idxs[:, :, rows, cols].transpose(2, 0, 1)
-                    self.coder.encode_with_indexes(
+                    coder.encode_with_indexes(
                         s.reshape(-1), i.reshape(-1),
                         self.em._cdf, self.em._cdf_length, self.em._offset)
-        self.coder.flush()
-        bit_stream = self.coder.get_encoded_stream()
+        coder.flush()
+        bit_stream = coder.get_encoded_stream()
         if file_name is not None:
             _, num_channels, height, width = sideinfo
             encode_image(height, width, num_channels, bit_stream, file_name)

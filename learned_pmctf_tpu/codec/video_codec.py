@@ -44,7 +44,7 @@ from ..utils.stream import (
     get_downsampled_shape,
 )
 from ..models.layers import f32_streams
-from .image_codec import PWaveCodec
+from .image_codec import PWaveCodec, bulk_fetch_int32
 
 
 class PMCTFCodec:
@@ -70,6 +70,7 @@ class PMCTFCodec:
         # host<->device rANS round trips overlap another unit's device
         # programs instead of idling the chip.
         self._decode_pool = None
+        self._encode_pool = None
         self._pending_decodes = []
 
         pw_kwargs = dict(
@@ -95,6 +96,15 @@ class PMCTFCodec:
             self._decode_pool = ThreadPoolExecutor(
                 max_workers=workers, thread_name_prefix="pmctf-dec")
         return self._decode_pool
+
+    def _enc_pool(self):
+        # separate pool: encode_one_stage BLOCKS on its two compress
+        # futures; sharing the decode pool would queue them behind
+        # long-running deferred pair decodes (priority inversion)
+        if self._encode_pool is None:
+            self._encode_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="pmctf-enc")
+        return self._encode_pool
 
     @f32_streams
     def update(self, force: bool = False):
@@ -220,14 +230,24 @@ class PMCTFCodec:
         out = self._mv_code(stage, mv_params, q_index, me_downsample,
                             teacher_y=mv_y)
 
-        # bulk readback + host rANS streaming (z symbols are exact
-        # integers, so the factorized stream never needs a replay)
+        # ONE packed readback (see image_codec.bulk_fetch_int32) + host
+        # rANS streaming (z symbols are exact integers, so the
+        # factorized stream never needs a replay)
+        plan = out.pop("plan")
+        order = [mv_z_hat] + [a for pair in plan for a in pair]
+        fetched = bulk_fetch_int32(self._jit, order)
         self.coder.reset()
-        self._mv_coders[stage].encode(np.asarray(mv_z_hat))
-        for vals, idx in out.pop("plan"):
+        mvc = self._mv_coders[stage]
+        self.coder.encode_with_indexes(
+            fetched[0].reshape(-1),
+            mvc.build_indexes(mv_z_hat.shape).reshape(-1),
+            mvc._cdf, mvc._cdf_length, mvc._offset)
+        it = iter(fetched[1:])
+        for _ in plan:
+            vals = next(it)
+            idx = next(it)
             self.coder.encode_with_indexes(
-                np.asarray(vals).astype(np.int32).reshape(-1),
-                np.asarray(idx).reshape(-1),
+                vals.reshape(-1), idx.reshape(-1),
                 self.em._cdf, self.em._cdf_length, self.em._offset)
         self.coder.flush()
         out["bit_stream"] = self.coder.get_encoded_stream()
@@ -283,20 +303,24 @@ class PMCTFCodec:
     @f32_streams
     def compress_one_stage(self, ref_frame, cur_frame, code_lt: bool, mv_hat,
                            ischroma: bool, sideinfo=None, file_name=None,
-                           stage_idx: int = 0, q_index: int = 0):
-        """ref: pMCTF_L.py:398-420."""
+                           stage_idx: int = 0, q_index: int = 0,
+                           own_coders: bool = False):
+        """ref: pMCTF_L.py:398-420. own_coders=True gives each stream a
+        fresh EntropyCoder so luma and chroma compress concurrently."""
         l_t, h_t, _, _ = self._forward_mctf(
             ref_frame, cur_frame, mv_hat, stage_idx, halve_mv=ischroma)
         qp_scale = self._hp_qp_scale(q_index, stage_idx)
         h_t_hat, _ = self.hp_codec.compress(
             h_t, q_index, qp_scale=qp_scale, file_name=file_name,
-            sideinfo=sideinfo)
+            sideinfo=sideinfo,
+            coder=self.hp_codec.make_coder() if own_coders else None)
         l_t_hat = None
         if code_lt:
             file_name_l = file_name.replace(
                 osp.basename(file_name), "0_C_main.bin" if ischroma else "0_main.bin")
             l_t_hat, _ = self.lp_codec.compress(
-                l_t, q_index, file_name=file_name_l, sideinfo=sideinfo)
+                l_t, q_index, file_name=file_name_l, sideinfo=sideinfo,
+                coder=self.lp_codec.make_coder() if own_coders else None)
         return {"L_t": l_t, "H_t": h_t, "H_t_hat": h_t_hat, "L_t_hat": l_t_hat}
 
     @f32_streams
@@ -410,22 +434,27 @@ class PMCTFCodec:
         mv_feature = out_enc["mv_feature"]
         mv_y_hat = out_enc["mv_y_hat"]
 
-        out_l = self.compress_one_stage(
-            ref_y, cur_y, code_lt, mv_hat, ischroma=False,
-            sideinfo=[1, 1, pic_height, pic_width], file_name=output_path,
-            stage_idx=stage_idx, q_index=q_index)
+        # luma and chroma compress are independent given mv_hat: run them
+        # concurrently with per-stream coders — each one's packed bulk
+        # readback + host rANS overlaps the other's device programs
+        file_name_c = output_path.replace(".bin", "_C_main.bin")
+        f_l = self._enc_pool().submit(
+            self.compress_one_stage, ref_y, cur_y, code_lt, mv_hat,
+            ischroma=False, sideinfo=[1, 1, pic_height, pic_width],
+            file_name=output_path, stage_idx=stage_idx, q_index=q_index,
+            own_coders=True)
+        f_c = self._enc_pool().submit(
+            self.compress_one_stage, ref_chroma, cur_chroma, code_lt, mv_hat,
+            ischroma=True, sideinfo=[1, 2, pic_height // 2, pic_width // 2],
+            file_name=file_name_c, stage_idx=stage_idx, q_index=q_index,
+            own_coders=True)
+        out_l, out_c = f_l.result(), f_c.result()
+        encoding_time = time.time() - start
 
         bits_h = os.path.getsize(output_path) * 8.0
         bits_me = os.path.getsize(mv_out) * 8.0
         bits_l = os.path.getsize(output_path.replace(
             osp.basename(output_path), "0_main.bin")) * 8.0 if code_lt else None
-
-        file_name_c = output_path.replace(".bin", "_C_main.bin")
-        out_c = self.compress_one_stage(
-            ref_chroma, cur_chroma, code_lt, mv_hat, ischroma=True,
-            sideinfo=[1, 2, pic_height // 2, pic_width // 2],
-            file_name=file_name_c, stage_idx=stage_idx, q_index=q_index)
-        encoding_time = time.time() - start
 
         bits_h_c = os.path.getsize(file_name_c) * 8.0
         bits_l_c = os.path.getsize(output_path.replace(

@@ -51,7 +51,8 @@ INVENTORY = {
         "decode_i", "get_padding_size", "get_downsampled_shape",
         "get_rounded_q"],
     "learned_pmctf_tpu.ops.color": [
-        "rgb_to_ycbcr", "ycbcr_to_rgb", "yuv420_to_444",
+        "rgb_to_ycbcr", "ycbcr_to_rgb", "yuv420_to_444", "yuv444_to_420",
+        "rgb_to_ycbcr_studio", "ycbcr_to_rgb_studio",
         "rgb_to_ycocg_lossless", "ycocg_to_rgb_lossless"],
     "learned_pmctf_tpu.utils.metrics": ["psnr", "yuv_psnr", "ms_ssim"],
     "learned_pmctf_tpu.utils.eval_json": [
