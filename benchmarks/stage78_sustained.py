@@ -37,7 +37,16 @@ def main():
         "--config", os.path.join(REPO, "configs/train_mctf_gop16_smoke.json"),
         "--checkpoint", INIT_CKPT, "--resume", "--start_stage", "7",
         "--batch-size", "1", "--patchsize", "128", "128",
-        "--steps_per_epoch", "20", "--num-workers", "2", "--log_every", "1",
+        "--steps_per_epoch", "20", "--num-workers", "2",
+        # log_every 5, NOT 1: a metrics readback immediately after every
+        # single dispatch of the big GOP-8/16 step program wedges the
+        # axon relay reproducibly at step 1 (r3 stage-8, r4 stage-7 —
+        # 40+ min stuck in wait_woken with 0% CPU). Batching 5 dispatches
+        # between syncs avoids it (probe evidence: /tmp/probe78.log ran
+        # 5 GOP-8 steps + stage-8 transition cleanly).
+        "--log_every", "5",
+        # pin q so the logged rd values are comparable across steps
+        "--fix_q", "10",
         "--fix_interval", "1",
         "--exp_postfix", "_sustained78",
     ]

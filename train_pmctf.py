@@ -48,6 +48,11 @@ def parse_args(argv):
                         "selection): exactly ONE step graph compiles per "
                         "stage instead of num_me_stages — used by smoke "
                         "runs to halve remote-compile exposure")
+    p.add_argument("--fix_q", type=int, default=-1,
+                   help="pin the per-step q_index (default: random per "
+                        "step, the reference's variable-rate sampling) — "
+                        "makes the logged rd loss comparable across steps "
+                        "for loss-curve evidence")
     p.add_argument("--log_every", type=int, default=100,
                    help="log train metrics every N global steps")
     p.add_argument("--data_parallel", type=int, default=0,
@@ -253,7 +258,8 @@ def main(argv):
             frames = jnp.stack([jnp.asarray(f)[:, 0:1] for f in batch])
             if dp_mesh is not None:
                 frames = jax.device_put(frames, dp_frames)
-            q_index = int(rng.integers(0, qp_num))
+            q_index = args.fix_q if args.fix_q >= 0 \
+                else int(rng.integers(0, qp_num))
             lmbda = get_cur_lambda(cfg.train_lambda, q_index, qp_num)
             if random_interval:
                 me_num = 0 if current_interval == 1 else \
