@@ -63,7 +63,7 @@ def main():
                         np.ones((1, 1, 8, 8))) + 128.0, 0, 255), jnp.float32)
         for _ in range(gop)]
 
-    decode_async = os.environ.get("PMCTF_BENCH_DEC_ASYNC", "1") == "1"
+    decode_async = os.environ.get("PMCTF_BENCH_DEC_ASYNC", "0") == "1"
 
     def run_once(tmpdir):
         fl = list(luma)

@@ -371,13 +371,18 @@ class PMCTFCodec:
             {"name": output_path, "code_lt": code_lt,
              "futures": (f_mv, f_l, f_c), "expect": expect})
 
-    def drain_decodes(self, check: bool = True):
+    def drain_decodes(self, check: bool = True, strict: bool = True):
         """Wait for all deferred pair decodes (decode_async=True).
 
         check=True also verifies decoded planes == the encoder-side
         reconstructions already returned by encode_one_stage — the replay
         design's bit-exactness invariant — via one small device program +
-        scalar readback per band. Returns a list of per-pair dicts
+        scalar readback per band; with strict=True (default) any nonzero
+        error raises ValueError. Callers that use decode_async MUST call
+        this once per GOP (before reusing the bin folder: the deferred
+        decodes re-read the code_lt streams 0_main.bin / 0_C_main.bin by
+        name, so encoding another GOP or q-index first would overwrite
+        them). Returns a list of per-pair dicts
         {"name", "errs", "max_err", "decoded"} and clears the queue."""
         maxabs = self._jit(
             "maxabs", lambda a, b: jnp.max(jnp.abs(a - b)))
@@ -400,11 +405,38 @@ class PMCTFCodec:
                 if item["code_lt"]:
                     errs["L_t"] = err(dec_l["L_t"]["x_hat"], exp["L_t"])
                     errs["L_tc"] = err(dec_c["L_t"]["x_hat"], exp["L_tc"])
+            max_err = max(errs.values()) if errs else 0.0
+            if strict and max_err != 0.0:
+                raise ValueError(
+                    f"deferred decode mismatch in {item['name']}: {errs} "
+                    "(decoded planes differ from the encoder-side "
+                    "reconstruction — bit-exactness invariant violated)")
             out.append({"name": item["name"], "errs": errs,
-                        "max_err": max(errs.values()) if errs else 0.0,
+                        "max_err": max_err,
                         "decoded": {"mv": decoded, "luma": dec_l,
                                     "chroma": dec_c}})
         return out
+
+    def close(self):
+        """Shut down the worker pools (and fail loudly on undrained
+        deferred decodes — their stream files may already be stale)."""
+        if self._pending_decodes:
+            pend = len(self._pending_decodes)
+            self._pending_decodes = []
+            raise RuntimeError(
+                f"PMCTFCodec.close() with {pend} undrained deferred "
+                "decodes: call drain_decodes() after each GOP")
+        for pool in (self._decode_pool, self._encode_pool):
+            if pool is not None:
+                pool.shutdown(wait=True)
+        self._decode_pool = self._encode_pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     @f32_streams
     def encode_one_stage(self, ref_frame, cur_frame, code_lt: bool, dpb,
@@ -416,9 +448,11 @@ class PMCTFCodec:
 
         decode_async=True: the decode of this pair's three independent
         streams (MV, luma bands, chroma bands) is submitted to the worker
-        pool and verified later by drain_decodes(); the returned planes
-        are the encoder-side reconstructions, which the replay design
-        makes bit-identical to the decoded ones (asserted at drain).
+        pool; the caller MUST call drain_decodes() once per GOP — it
+        raises on any mismatch, and must run before the bin folder's
+        code_lt stream names are reused (see drain_decodes). The returned
+        planes are the encoder-side reconstructions, which the replay
+        design makes bit-identical to the decoded ones (asserted at drain).
         Decode round trips then overlap later pairs' encode programs —
         the chip no longer idles during rANS waits (ref concept:
         pMCTF/cpp/rans/rans.cpp:174-263 overlaps host entropy work)."""

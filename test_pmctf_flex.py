@@ -56,9 +56,11 @@ def parse_args(argv):
                    help="use a distinct ME network for temporal stage >0 "
                         "(forces num_me_stages >= 2)")
     p.add_argument("--skip_decoding", action="store_true")
-    p.add_argument("--decode_async", type=str2bool, default=True,
+    p.add_argument("--decode_async", type=str2bool, default=False,
                    help="overlap pair decodes on worker threads "
-                        "(bit-exactness verified after each GOP)")
+                        "(bit-exactness verified after each GOP). Default "
+                        "off: measured slightly slower than sync decode at "
+                        "1080p (docs/stream_1080p_r4_{sync,async}.log)")
     p.add_argument("--num_me_stages", default=1, type=int)
     p.add_argument("--q_index_num", default=1, type=int)
     p.add_argument("--q_index", default=-1, type=int)
@@ -221,7 +223,7 @@ def run_test(codec, args, logger=print):
             os.path.join(args["decoded_frame_folder"], "decoded.yuv"))
     start_time = time.time()
     p_frames = 0
-    enc_time = dec_time = 0.0
+    enc_time = dec_time = dec_wait_time = 0.0
 
     frame_counter = 0
     for gop_idx in range(gop_num):
@@ -262,7 +264,7 @@ def run_test(codec, args, logger=print):
                         pic_height=args["src_height"], psize=psize,
                         skip_decoding=args.get("skip_decoding", False),
                         stage_idx=me_num, q_index=q_index,
-                        decode_async=args.get("decode_async", True))
+                        decode_async=args.get("decode_async", False))
                 else:
                     result = codec.estimate_one_stage(
                         frames[fi], frames[fi + step], code_lt, dpb,
@@ -286,16 +288,14 @@ def run_test(codec, args, logger=print):
             num_pairs //= 2
 
         if write_stream and not args.get("skip_decoding", False) \
-                and args.get("decode_async", True):
-            # overlapped decode: wait for the deferred pair decodes and
-            # verify bit-exactness (decoded == the encoder-side recon the
-            # loop above fed forward — the replay design's invariant)
+                and args.get("decode_async", False):
+            # overlapped decode: wait for the deferred pair decodes;
+            # drain_decodes itself raises if any decoded plane differs
+            # from the encoder-side recon the loop above fed forward
+            # (the replay design's bit-exactness invariant)
             t0 = time.time()
-            for d in codec.drain_decodes():
-                if d["max_err"] != 0.0:
-                    raise RuntimeError(
-                        f"decode mismatch in {d['name']}: {d['errs']}")
-            dec_time += time.time() - t0
+            codec.drain_decodes()
+            dec_wait_time += time.time() - t0
 
         # SYNTHESIS: temporal decoding
         num_pairs = 1
@@ -359,6 +359,12 @@ def run_test(codec, args, logger=print):
     if p_frames:
         log["avg_p_encoding_time_ms"] = enc_time / p_frames * 1000
         log["avg_p_decoding_time_ms"] = dec_time / p_frames * 1000
+        if args.get("decode_async", False):
+            # overlapped decode: per-pair decoding_time is 0 and only the
+            # residual drain wait is observable — not comparable with the
+            # sequential measurement (sync mode / the reference)
+            log["decode_overlapped"] = True
+            log["avg_p_decode_wait_ms"] = dec_wait_time / p_frames * 1000
     return log
 
 

@@ -52,7 +52,8 @@ def codec():
         params["params"][coder]["QP_ll"] = qp
     c = PMCTFCodec(m, params)
     c.update(force=True)
-    return c
+    yield c
+    c.close()
 
 
 def _run_gop4(codec, outdir, skip_decoding):
