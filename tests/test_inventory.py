@@ -69,7 +69,7 @@ INVENTORY = {
         "make_optimizer", "trainable_mask", "decay_mask"],
     "learned_pmctf_tpu.training.steps": [
         "StageGates", "make_pwave_train_step", "make_pmctf_train_step",
-        "pmctf_gop_loss"],
+        "make_pmctf_train_step_split", "pmctf_gop_loss"],
     "learned_pmctf_tpu.training.curriculum": [
         "CurriculumConfig", "clone_me_stage", "load_from_iframe",
         "PART_PREDICATES"],

@@ -143,3 +143,27 @@ def test_load_from_iframe():
     out = load_from_iframe(params, iframe)
     np.testing.assert_array_equal(np.asarray(out["params"]["lp_coder"]["a"]), 1.0)
     np.testing.assert_array_equal(np.asarray(out["params"]["hp_coder"]["a"]), 1.0)
+
+
+@pytest.mark.slow
+def test_pmctf_split_step_matches_fused():
+    """The per-stage-program split step (the GOP-16 compile-size fix)
+    reproduces the fused step's metrics, end-to-end gradients and
+    post-Adam params (tests/split_step_equiv_script.py; CPU subprocess
+    so the suite's TPU stays free of its many small compiles)."""
+    import os
+    import subprocess
+    import sys
+
+    from tests.conftest import SANITIZED_CPU_ENV
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(SANITIZED_CPU_ENV)
+    env["PMCTF_EQUIV_GOP"] = "4"
+    env["XLA_FLAGS"] = ""  # single CPU device is enough
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "tests", "split_step_equiv_script.py")],
+        env=env, capture_output=True, text=True, timeout=7000, cwd=root)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "SPLIT_STEP_EQUIV_OK" in proc.stdout

@@ -72,7 +72,7 @@ def main(argv):
     from learned_pmctf_tpu.data import VideoYCbCr, DataLoader
     from learned_pmctf_tpu.models import PMCTF
     from learned_pmctf_tpu.training import (
-        make_optimizer, make_pmctf_train_step)
+        make_optimizer, make_pmctf_train_step, make_pmctf_train_step_split)
     from learned_pmctf_tpu.training.steps import StageGates
     from learned_pmctf_tpu.training.optim import trainable_mask
     from learned_pmctf_tpu.training.curriculum import (
@@ -206,10 +206,16 @@ def main(argv):
         opt_state = tx.init(params)
         gates = StageGates.for_stage(stage_num)
         # one jitted step per me_base (frame-interval-dependent ME stage
-        # offset, ref: train_pMCTF_L.py:153-159); bounded by num_me_stages
+        # offset, ref: train_pMCTF_L.py:153-159); bounded by num_me_stages.
+        # GOP >= split threshold (default 16) uses the stage-split step:
+        # the fused GOP-16 step graph SIGKILLs the remote compile helper
+        # (~17 MB MLIR), the per-stage programs have ample margin
+        # (steps.py make_pmctf_train_step_split).
+        split_gop = int(os.environ.get("PMCTF_SPLIT_GOP", "16"))
+        make_step = make_pmctf_train_step_split if num_frames >= split_gop \
+            else make_pmctf_train_step
         step_fn = {
-            mb: make_pmctf_train_step(module, tx, num_frames, gates,
-                                      me_base=mb)
+            mb: make_step(module, tx, num_frames, gates, me_base=mb)
             for mb in range(args.num_me_stages)
         }
         logger.info(f"STAGE {stage_num+1}: part={part} frames={num_frames} "
