@@ -202,13 +202,42 @@ def main(gop=16, h=1152, w=1920, module_kwargs=None, runs=3, report=True):
 
     fps = gop / dt
     if report:
-        print(json.dumps({
-            "metric": "pmctf_gop16_1080p_code_decode_fps",
+        out = {
+            # honest labeling (VERDICT r4): this axis is the on-device
+            # entropy-ESTIMATE path with the approximate fast warp —
+            # the device-throughput ceiling, not the bitstream path
+            "metric": "pmctf_gop16_1080p_estimate_fastwarp_fps",
             "value": round(fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(fps / TARGET_FPS, 3),
-        }))
+        }
+        if os.environ.get("PMCTF_BENCH_HEADLINE_ONLY", "0") != "1":
+            out["secondary"] = secondary_axes()
+        print(json.dumps(out))
     return fps, control
+
+
+def secondary_axes():
+    """The other two honest axes (VERDICT r4 item 4): the estimate path
+    with the reference-semantics exact warp, and the REAL bitstream
+    (write-stream) encode+decode path at GOP-4 incl. all host rANS work."""
+    sec = {}
+    try:
+        fps_exact, _ = main(module_kwargs={"warp_mode": "exact"},
+                            runs=2, report=False)
+        sec["estimate_exact_warp_fps"] = round(fps_exact, 3)
+    except Exception as e:  # never lose the headline to a secondary axis
+        sec["estimate_exact_warp_fps"] = f"error: {e}"
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from bench_stream import measure_write_stream
+        sec["write_stream_gop4_fps"] = round(
+            measure_write_stream(gop=4, runs=1), 3)
+    except Exception as e:
+        sec["write_stream_gop4_fps"] = f"error: {e}"
+    return sec
 
 
 if __name__ == "__main__":

@@ -1,0 +1,193 @@
+"""BD-rate artifact: 6-point RD sweep through BOTH frameworks.
+
+The north-star parity gate is "BD-rate within 0.5% of the PyTorch
+reference checkpoint at 6 q_index points" (BASELINE.md). This script is
+the committed proof: it instantiates the reference torch pMCTF (seeded),
+converts its weights into the JAX model (utils/torch_import.py), codes
+the SAME synthetic sequence through the reference's own GOP ladder
+(torch, CPU, estimate path — ref: test_pMCTF_flex.py:88-357) and through
+PMCTFCodec.estimate_one_stage (what test_pmctf_flex.py drives), sweeps
+6 q-indices, and feeds both RD curves through utils/bdrate.py.
+
+Output: docs/bdrate_artifact.json with both curves, per-point rate/PSNR
+deltas, and the BD-rate/BD-PSNR numbers.
+
+Run (repo root, real TPU or CPU — convs pinned to f32-equivalent
+precision either way):
+    python benchmarks/bdrate_artifact.py [--gops 2] [--gop 8] [--size 128]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+REF = "/root/reference"
+SHIMS = os.path.join(ROOT, "tests", "ref_shims")
+
+
+def yuv_psnr(rec, org):
+    """(6*Y + Cb + Cr)/8 PSNR on the 255 scale, numpy, both frameworks'
+    outputs through the IDENTICAL metric (ref: test_pMCTF_flex.py:325)."""
+    (ry, rc), (oy, oc) = rec, org
+
+    def psnr(a, b):
+        mse = float(np.mean((np.clip(np.rint(a), 0, 255) - b) ** 2))
+        return 100.0 if mse == 0 else 10.0 * math.log10(255.0 ** 2 / mse)
+
+    return (6.0 * psnr(ry, oy) + psnr(rc[0], oc[0]) + psnr(rc[1], oc[1])) / 8.0
+
+
+def sum_bits(bits):
+    return sum(float(v) for d in bits.values() for v in d.values())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gop", type=int, default=8)
+    ap.add_argument("--gops", type=int, default=2,
+                    help="number of GOPs in the sequence")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--q_list", type=str, default="0,4,8,12,16,20")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(ROOT, "docs", "bdrate_artifact.json"))
+    args = ap.parse_args()
+
+    for p in (SHIMS, REF):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import torch
+    torch.manual_seed(0)
+    from pMCTF.models.video.pMCTF_L import pMCTF as TorchPMCTF
+
+    from learned_pmctf_tpu.models import PMCTF
+    from learned_pmctf_tpu.codec import PMCTFCodec
+    from learned_pmctf_tpu.utils.torch_import import (
+        convert_pmctf_tree, merge_into_init)
+    from learned_pmctf_tpu.utils.bdrate import bd_rate, bd_psnr
+    from learned_pmctf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from tests.test_gop_parity import (
+        _synthetic_frames, _torch_gop, _ours_gop)
+    import jax.numpy as jnp
+
+    print("[bdrate] building torch reference model...", flush=True)
+    tm = TorchPMCTF(decomp_levels=4, num_me_stages=2).eval()
+    # random init leaves the learned QP range degenerate (min == max), so
+    # every q_index maps to the same scale and the RD "curve" collapses
+    # to one point. Spread the endpoints in the TORCH model (then convert)
+    # so both frameworks inherit the identical non-trivial 21-step range
+    # (ref: pWave.py:209-229 get_one_q_scale log interpolation).
+    import torch as _t
+    with _t.no_grad():
+        qp = _t.tensor([0.02, 0.5]).reshape(2, 1, 1, 1)
+        for coder in (tm.lp_coder, tm.hp_coder):
+            coder.QP.copy_(qp)
+            coder.QP_ll.copy_(qp)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    tree, unused = convert_pmctf_tree(sd, num_me_stages=2, spynet_luma=True)
+    assert not unused
+    print("[bdrate] converted; initializing JAX model...", flush=True)
+
+    module = PMCTF(decomp_levels=4, num_me_stages=2, ll_mode="ar",
+                   spynet_luma=True, warp_mode="exact")
+    g = np.random.default_rng(0)
+    small = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
+    dpb = {"mv_feature": None, "ref_mv_y": None}
+    # jitted init: eager init dispatches every op through the relay
+    # (~60 ms each, thousands of ops — the first BD attempt stalled here)
+    init = jax.jit(
+        lambda: module.init({"params": jax.random.PRNGKey(0)}, small, small,
+                            10, dpb, method=PMCTF.full_init_graph))()
+    params, unmatched = merge_into_init(init, tree)
+    assert not unmatched
+    codec = PMCTFCodec(module, params)
+    print("[bdrate] codec ready; starting sweep", flush=True)
+
+    h = w = args.size
+    q_list = [int(q) for q in args.q_list.split(",")]
+    pix = h * w
+
+    gop_frames = [_synthetic_frames(args.gop, h, w, seed=21 + 5 * i)
+                  for i in range(args.gops)]
+
+    curves = {"reference_torch": [], "learned_pmctf_tpu": []}
+    points = []
+    for q in q_list:
+        t0 = time.time()
+        agg = {"reference_torch": [0.0, 0.0],
+               "learned_pmctf_tpu": [0.0, 0.0]}  # [bits, sum_psnr]
+        for gi, frames in enumerate(gop_frames):
+            ref_bits, ref_rec = _torch_gop(tm, frames, args.gop, q)
+            print(f"[bdrate] q={q} gop {gi}: torch done", flush=True)
+            our_bits, our_rec = _ours_gop(codec, frames, args.gop, q)
+            print(f"[bdrate] q={q} gop {gi}: ours done", flush=True)
+            agg["reference_torch"][0] += sum_bits(ref_bits)
+            agg["learned_pmctf_tpu"][0] += sum_bits(our_bits)
+            for fi, (y, c) in enumerate(frames):
+                org = (y[0, 0], c[:, 0])
+                agg["reference_torch"][1] += yuv_psnr(
+                    (ref_rec[fi][0][0, 0], ref_rec[fi][1][:, 0]), org)
+                agg["learned_pmctf_tpu"][1] += yuv_psnr(
+                    (our_rec[fi][0][0, 0], our_rec[fi][1][:, 0]), org)
+        n_frames = args.gops * args.gop
+        pt = {"q_index": q}
+        for side in curves:
+            bpp = agg[side][0] / (n_frames * pix)
+            psnr = agg[side][1] / n_frames
+            curves[side].append((bpp, psnr))
+            pt[side] = {"bpp": bpp, "yuv_psnr": psnr}
+        pt["rate_rel_diff"] = (pt["learned_pmctf_tpu"]["bpp"]
+                               - pt["reference_torch"]["bpp"]) \
+            / pt["reference_torch"]["bpp"]
+        pt["psnr_diff"] = (pt["learned_pmctf_tpu"]["yuv_psnr"]
+                           - pt["reference_torch"]["yuv_psnr"])
+        points.append(pt)
+        print(f"q={q:2d} ref bpp={pt['reference_torch']['bpp']:.5f} "
+              f"psnr={pt['reference_torch']['yuv_psnr']:.3f} | "
+              f"ours bpp={pt['learned_pmctf_tpu']['bpp']:.5f} "
+              f"psnr={pt['learned_pmctf_tpu']['yuv_psnr']:.3f} | "
+              f"d_rate={pt['rate_rel_diff']*100:+.3f}% "
+              f"d_psnr={pt['psnr_diff']:+.4f} dB  ({time.time()-t0:.0f}s)",
+              flush=True)
+
+    bd_r = bd_rate(curves["reference_torch"], curves["learned_pmctf_tpu"])
+    bd_p = bd_psnr(curves["reference_torch"], curves["learned_pmctf_tpu"])
+    artifact = {
+        "description": "6-point RD sweep, identical converted weights and "
+                       "frames through the reference torch GOP ladder "
+                       "(estimate path, CPU, f32) and "
+                       "PMCTFCodec.estimate_one_stage (matmul precision "
+                       "'highest'). BD per VCEG-M33 (utils/bdrate.py).",
+        "config": {"gop": args.gop, "gops": args.gops, "size": args.size,
+                   "q_list": q_list, "frames": args.gops * args.gop,
+                   "jax_backend": jax.default_backend(),
+                   "target": "|BD-rate| <= 0.5% (BASELINE.md)"},
+        "points": points,
+        "bd_rate_percent": bd_r,
+        "bd_psnr_db": bd_p,
+        "pass": abs(bd_r) <= 0.5,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\nBD-rate (ours vs reference anchor): {bd_r:+.4f}%")
+    print(f"BD-PSNR: {bd_p:+.5f} dB")
+    print(f"gate |BD-rate| <= 0.5%: {'PASS' if artifact['pass'] else 'FAIL'}")
+    print(f"wrote {args.out}")
+    return 0 if artifact["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,14 +22,10 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--gop", type=int, default=4)
-    ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--height", type=int, default=1152)
-    ap.add_argument("--width", type=int, default=1920)
-    args = ap.parse_args()
-
+def measure_write_stream(gop=4, runs=2, height=1152, width=1920,
+                         decode_async=None):
+    """Warm write-stream fps for one GOP at the given geometry; reusable
+    from bench.py (secondary metric) and the CLI below."""
     import jax
     import jax.numpy as jnp
     from learned_pmctf_tpu.models import PMCTF
@@ -38,7 +34,8 @@ def main():
 
     enable_compilation_cache()
 
-    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep", warp_mode="fast")
+    module = PMCTF(decomp_levels=4, num_me_stages=4, ll_mode="fourstep",
+                   warp_mode="fast")
     g = np.random.default_rng(0)
     small = jnp.asarray(g.integers(0, 256, (1, 1, 128, 128)), jnp.float32)
     dpb0 = {"mv_feature": None, "ref_mv_y": None}
@@ -50,8 +47,7 @@ def main():
     codec = PMCTFCodec(module, params)  # production defaults: ec_thread, part=2
     codec.update()
 
-    gop = args.gop
-    h, w = args.height, args.width
+    h, w = height, width
     num_stages = int(np.log2(gop))
     # smooth synthetic content (pure noise inflates rANS work unrealistically)
     base = g.normal(0, 30, (1, 1, h // 8, w // 8))
@@ -63,7 +59,8 @@ def main():
                         np.ones((1, 1, 8, 8))) + 128.0, 0, 255), jnp.float32)
         for _ in range(gop)]
 
-    decode_async = os.environ.get("PMCTF_BENCH_DEC_ASYNC", "0") == "1"
+    if decode_async is None:
+        decode_async = os.environ.get("PMCTF_BENCH_DEC_ASYNC", "0") == "1"
 
     def run_once(tmpdir):
         fl = list(luma)
@@ -109,13 +106,23 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         _ = run_once(td)  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(args.runs):
+        for _ in range(runs):
             _ = run_once(td)
-        dt = (time.perf_counter() - t0) / args.runs
+        dt = (time.perf_counter() - t0) / runs
+    codec.close()
+    return gop / dt
 
-    fps = gop / dt
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gop", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--height", type=int, default=1152)
+    ap.add_argument("--width", type=int, default=1920)
+    args = ap.parse_args()
+    fps = measure_write_stream(args.gop, args.runs, args.height, args.width)
     print(json.dumps({
-        "metric": f"pmctf_gop{gop}_1080p_write_stream_fps",
+        "metric": f"pmctf_gop{args.gop}_1080p_write_stream_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": None,

@@ -67,8 +67,11 @@ def both_codecs():
     g = np.random.default_rng(0)
     small = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
     dpb = {"mv_feature": None, "ref_mv_y": None}
-    init = module.init({"params": jax.random.PRNGKey(0)}, small, small, 10,
-                       dpb, method=PMCTF.full_init_graph)
+    # jitted init: eager init dispatches every op separately through the
+    # axon relay (~60 ms each) — minutes of pure latency on the TPU
+    init = jax.jit(
+        lambda: module.init({"params": jax.random.PRNGKey(0)}, small, small,
+                            10, dpb, method=PMCTF.full_init_graph))()
     params, unmatched = merge_into_init(init, tree)
     assert not unmatched
     return tm, PMCTFCodec(module, params)
@@ -214,7 +217,11 @@ def test_gop_loop_parity(both_codecs, gop_size):
         for key, r in ref_bits[fi].items():
             o = our_bits[fi][key]
             rel = abs(o - r) / max(abs(r), 1.0)
-            assert rel < 1e-3, (gop_size, fi, key, o, r, rel)
+            # per-frame rate parity rel 1e-4 (VERDICT r4 item 9): the
+            # 6-point BD sweep (docs/bdrate_artifact.json) measures the
+            # actual cross-framework rate drift at ~1e-5 relative, so a
+            # systematic sub-percent bias can no longer hide in totals
+            assert rel < 1e-4, (gop_size, fi, key, o, r, rel)
 
     for fi, ((ry, rc), (oy, oc)) in enumerate(zip(ref_rec, our_rec)):
         err_y = np.max(np.abs(oy - ry))

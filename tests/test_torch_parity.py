@@ -69,10 +69,13 @@ def pair():
     g = np.random.default_rng(0)
     small = jnp.asarray(g.integers(0, 256, (1, 1, 64, 64)), jnp.float32)
     dpb = {"mv_feature": None, "ref_mv_y": None}
-    # eager init (shapes only matter): avoids compiling the giant init
-    # graph — on CPU that compile dominates the whole test session.
-    init = module.init({"params": jax.random.PRNGKey(0)}, small, small, 10,
-                       dpb, method=PMCTF.full_init_graph)
+    # jitted init: on the TPU, eager init dispatches every op through the
+    # relay (~60 ms each — minutes of latency per session); the jitted
+    # init graph compiles once and lands in the persistent cache (shared
+    # with test_gop_parity's identical model config).
+    init = jax.jit(
+        lambda: module.init({"params": jax.random.PRNGKey(0)}, small, small,
+                            10, dpb, method=PMCTF.full_init_graph))()
     params, unmatched = merge_into_init(init, tree)
     assert not unmatched, f"converted leaves without a home: {unmatched[:10]}"
     return tm, module, params
