@@ -164,6 +164,15 @@ def main():
 
     bd_r = bd_rate(curves["reference_torch"], curves["learned_pmctf_tpu"])
     bd_p = bd_psnr(curves["reference_torch"], curves["learned_pmctf_tpu"])
+    # with random-init weights the rate is nearly q-independent (the
+    # latents code noise), so the inverse fit quality(log-rate) that
+    # BD-PSNR integrates is ill-conditioned; flag it rather than report
+    # a meaningless dB number (BD-rate integrates log-rate(quality),
+    # which stays well-posed on this curve shape)
+    rates = np.asarray([r for r, _ in curves["reference_torch"]])
+    bd_p_ok = float(np.log10(rates.max() / rates.min())) > 0.05
+    if not bd_p_ok:
+        bd_p = None
     artifact = {
         "description": "6-point RD sweep, identical converted weights and "
                        "frames through the reference torch GOP ladder "
@@ -177,6 +186,9 @@ def main():
         "points": points,
         "bd_rate_percent": bd_r,
         "bd_psnr_db": bd_p,
+        "bd_psnr_note": None if bd_p_ok else
+            "omitted: rate range too small for a stable quality(log-rate) "
+            "fit (random-init weights make rate nearly q-independent)",
         "pass": abs(bd_r) <= 0.5,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
