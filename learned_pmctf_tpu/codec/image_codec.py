@@ -116,6 +116,7 @@ class PWaveCodec:
         # standalone fusion-module defs so decode sub-graphs are jitted
         # once per VARIANT (ll / top-level / lower-level) and shared
         # across all (lvl, band) positions — params passed as arguments.
+        self._zeros_cache: Dict = {}
         common = dict(in_ch=1, num_params=2, lossy=module.lossy)
         self._fusion_defs = {
             "ll": ContextFusionFourStep(ctx_ch=1, use_ctx=False,
@@ -145,6 +146,17 @@ class PWaveCodec:
             if key not in self._jits:
                 self._jits[key] = jax.jit(fn, **jit_kwargs)
             return self._jits[key]
+
+    def _zeros(self, shape):
+        """Cached device-resident zeros: jnp.zeros outside jit dispatches
+        a fill program (~60 ms relay round trip each, dispatch_lab); the
+        codec's zero planes are read-only so one per shape suffices."""
+        z = self._zeros_cache.get(shape)
+        if z is None:
+            z = self._jit(("zeros", shape),
+                          lambda: jnp.zeros(shape, jnp.float32))()
+            self._zeros_cache[shape] = z
+        return z
 
     def make_coder(self) -> EntropyCoder:
         """A fresh EntropyCoder (own native encoder/decoder state) so
@@ -191,38 +203,48 @@ class PWaveCodec:
             return xh.at[:, :, PHASES[k][0]::2, PHASES[k][1]::2].set(
                 vals + m[:, :, PHASES[k][0]::2, PHASES[k][1]::2])
 
-        # head: context features + pass-0 params + pass-0 rANS indexes
-        def head_fn(p, ctx, prev, like):
-            ctx_feat, scales, means = fdef.apply(
-                p, ctx, prev, like=like,
-                method=ContextFusionFourStep.hier_params)
-            return ctx_feat, _extract(scales, 0), means
-
-        head = self._jit(
-            ("fs_head", variant, prev_subband is None, context is None),
-            head_fn)
-        like = jnp.zeros(shape, jnp.float32)
-        ctx_feat, idx, means = head(fparams, context, prev_subband, like)
-
-        # body k (k=0..2): scatter pass-k symbols, run spatial prior k,
-        # extract pass-(k+1) indexes — one fused program
-        def body_fn(p, xh, v, m, cf, k):
-            xh = _scatter(xh, v, m, k)
-            scales, means2 = fdef.apply(
-                p, xh, cf, k, method=ContextFusionFourStep.spatial_params)
-            return xh, _extract(scales, k + 1), means2
-
-        tail = self._jit("fs_tail", lambda xh, v, m: _scatter(xh, v, m, 3))
-
         # teacher-forced symbols: the mirror of process_with_mask with
-        # training=False (context.py:240-252) — round((y - means)[phase])
-        def vals_fn(t, m, k):
+        # training=False (context.py:240-252) — round((y - means)[phase]).
+        # Computed INSIDE head/body (one output more) instead of as a
+        # separate per-step program: each warm dispatch costs ~60 ms of
+        # relay round trip (benchmarks/dispatch_lab.py), so the 4 extra
+        # programs per subband were ~3 s of a 1080p compress. Decode
+        # passes a cached zeros teacher and ignores the output — the
+        # executables stay IDENTICAL between encode and decode (the
+        # bit-exactness invariant); the teacher only feeds this extra
+        # elementwise output, never the scales/means.
+        def _vals(t, m, k):
             my, mx = PHASES[k]
             return jnp.round(t[:, :, my::2, mx::2] - m[:, :, my::2, mx::2])
 
+        # head: context features + pass-0 params + pass-0 rANS indexes
+        def head_fn(p, ctx, prev, like, t):
+            ctx_feat, scales, means = fdef.apply(
+                p, ctx, prev, like=like,
+                method=ContextFusionFourStep.hier_params)
+            return ctx_feat, _extract(scales, 0), means, _vals(t, means, 0)
+
+        head = self._jit(
+            ("fs_head2", variant, prev_subband is None, context is None),
+            head_fn)
+        zeros = self._zeros(shape)
+        t_in = zeros if teacher is None else teacher
+        ctx_feat, idx, means, tvals = head(
+            fparams, context, prev_subband, zeros, t_in)
+
+        # body k (k=0..2): scatter pass-k symbols, run spatial prior k,
+        # extract pass-(k+1) indexes (+ teacher symbols) — one program
+        def body_fn(p, xh, v, m, cf, t, k):
+            xh = _scatter(xh, v, m, k)
+            scales, means2 = fdef.apply(
+                p, xh, cf, k, method=ContextFusionFourStep.spatial_params)
+            return xh, _extract(scales, k + 1), means2, _vals(t, means2, k + 1)
+
+        tail = self._jit("fs_tail", lambda xh, v, m: _scatter(xh, v, m, 3))
+
         coder = coder or self.coder
         plan = None if teacher is None else []
-        x_hat = jnp.zeros(shape, jnp.float32)
+        x_hat = zeros
         for step in range(4):
             if teacher is None:
                 vals = coder.decode_stream(
@@ -230,15 +252,15 @@ class PWaveCodec:
                     self.em._offset)
                 vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
             else:
-                vf = self._jit(("fs_vals", step),
-                               lambda t, m, s=step: vals_fn(t, m, s))
-                vals = vf(teacher, means)
+                vals = tvals
                 plan.append((vals, idx))
             if step < 3:
                 body = self._jit(
-                    ("fs_body", variant, step, ctx_feat is None),
-                    lambda p, xh, v, m, cf, s=step: body_fn(p, xh, v, m, cf, s))
-                x_hat, idx, means = body(fparams, x_hat, vals, means, ctx_feat)
+                    ("fs_body2", variant, step, ctx_feat is None),
+                    lambda p, xh, v, m, cf, t, s=step:
+                        body_fn(p, xh, v, m, cf, t, s))
+                x_hat, idx, means, tvals = body(
+                    fparams, x_hat, vals, means, ctx_feat, t_in)
             else:
                 x_hat = tail(x_hat, vals, means)
         return x_hat, plan
@@ -322,12 +344,15 @@ class PWaveCodec:
                 p, like, method=PWave.ctx_init))
         states = ctx_init(self.params, ll_hat)
 
+        # the 3-way context split rides inside the ctx_step program (the
+        # host-side jnp.split was one more ~60 ms dispatch per subband)
         def ctx_step(subband, states, up):
-            fn = self._jit(
-                ("ctx_step", up, subband.shape),
-                lambda p, sb, st, u=up: self.module.apply(
-                    p, sb, st, u, method=PWave.ctx_step))
-            return fn(self.params, subband, states)
+            def fn(p, sb, st, u=up):
+                c, st2 = self.module.apply(p, sb, st, u,
+                                           method=PWave.ctx_step)
+                return tuple(jnp.split(c, 3, axis=1)), st2
+            return self._jit(("ctx_step2", up, subband.shape), fn)(
+                self.params, subband, states)
 
         context, states = ctx_step(ll_hat, states, None)
 
@@ -336,7 +361,7 @@ class PWaveCodec:
             sw = new_w // (2 ** (lvl + 1))
             for sidx, band in enumerate(BANDS):
                 key = f"{lvl}_{band}"
-                ctx = jnp.split(context, 3, axis=1)[sidx]
+                ctx = context[sidx]
                 prev = subbands_hat[lvl + 1][band] if lvl < L - 1 else None
                 t = None if teachers is None else teachers[key]
                 s_hat, plan = self._code_fourstep(

@@ -63,6 +63,7 @@ class PMCTFCodec:
         self.em = GaussianEncoder("laplace")
         self._jits: Dict = {}
         self._jits_lock = threading.Lock()
+        self._zeros_cache: Dict = {}
         self._mv_coders: Dict[int, FactorizedCoder] = {}
         # decode-overlap machinery (VERDICT r3 item 3): independent
         # decode units (MV / luma bands / chroma bands, across pairs) run
@@ -89,6 +90,15 @@ class PMCTFCodec:
             if key not in self._jits:
                 self._jits[key] = jax.jit(fn, **kw)
             return self._jits[key]
+
+    def _zeros(self, shape):
+        """Cached device zeros (see PWaveCodec._zeros)."""
+        z = self._zeros_cache.get(shape)
+        if z is None:
+            z = self._jit(("zeros", shape),
+                          lambda: jnp.zeros(shape, jnp.float32))()
+            self._zeros_cache[shape] = z
+        return z
 
     def _pool(self):
         if self._decode_pool is None:
@@ -145,27 +155,12 @@ class PMCTFCodec:
             return build_indexes_from_scales(
                 four_part_prior_decode_scales(sq, checkerboard_masks(h, w), k))
 
-        def head_fn(p, mp):
-            q_dec, scales_q, means_q = self.module.apply(
-                p, mp, method=PMCTF.mv_decode_split)
-            return q_dec, _idx(tuple(scales_q), 0), tuple(means_q)
-
-        q_dec, idx, means_q = self._jit(("mv_head", stage), head_fn)(
-            self.params, mv_params)
-
-        def body_fn(p, yh, v, mq, mp, k):
-            y_hat_curr = four_part_prior_scatter(
-                v, tuple(mq), checkerboard_masks(h, w), k)
-            yh = y_hat_curr if yh is None else yh + y_hat_curr
-            if k == 3:
-                return yh
-            scales_q, means_q = self.module.apply(
-                p, yh, mp, stage, k, method=PMCTF.mv_decode_spatial)
-            return yh, _idx(tuple(scales_q), k + 1), tuple(means_q)
-
         # teacher symbols: the dense per-step plane of _mask_process
         # (mv_coder.py:144-150) — each spatial phase carries exactly one
         # channel quarter under MASK_SCHEDULE, so the sum is dense.
+        # Computed inside head/body (decode feeds a zero teacher and
+        # ignores the output) so encode costs no extra dispatches — see
+        # image_codec._code_fourstep for the invariant argument.
         def vals_fn(y, qd, mq, k):
             masks = checkerboard_masks(y.shape[2], y.shape[3], jnp.float32)
             ys = jnp.split(y * (1.0 / qd), 4, axis=1)
@@ -174,6 +169,28 @@ class PMCTFCodec:
                 m = masks[MASK_SCHEDULE[k][i]]
                 out = out + jnp.round((ys[i] - mq[i] * m) * m)
             return out
+
+        def head_fn(p, mp, t):
+            q_dec, scales_q, means_q = self.module.apply(
+                p, mp, method=PMCTF.mv_decode_split)
+            return (q_dec, _idx(tuple(scales_q), 0), tuple(means_q),
+                    vals_fn(t, q_dec, means_q, 0))
+
+        zeros = self._zeros((mv_params.shape[0], self.module.channel_mv, h, w))
+        t_in = zeros if teacher_y is None else teacher_y
+        q_dec, idx, means_q, tvals = self._jit(
+            ("mv_head2", stage), head_fn)(self.params, mv_params, t_in)
+
+        def body_fn(p, yh, v, mq, mp, qd, t, k):
+            y_hat_curr = four_part_prior_scatter(
+                v, tuple(mq), checkerboard_masks(h, w), k)
+            yh = y_hat_curr if yh is None else yh + y_hat_curr
+            if k == 3:
+                return yh
+            scales_q, means_q = self.module.apply(
+                p, yh, mp, stage, k, method=PMCTF.mv_decode_spatial)
+            return (yh, _idx(tuple(scales_q), k + 1), tuple(means_q),
+                    vals_fn(t, qd, means_q, k + 1))
 
         coder = coder or self.coder
         plan = None if teacher_y is None else []
@@ -185,19 +202,20 @@ class PMCTFCodec:
                     self.em._offset)
                 vals = jnp.asarray(vals.reshape(idx.shape), jnp.float32)
             else:
-                vf = self._jit(("mv_vals", step),
-                               lambda y, qd, mq, s=step: vals_fn(y, qd, mq, s))
-                vals = vf(teacher_y, q_dec, means_q)
+                vals = tvals
                 plan.append((vals, idx))
             body = self._jit(
-                ("mv_body", stage, step, y_hat_so_far is None),
-                lambda p, yh, v, mq, mp, s=step: body_fn(p, yh, v, mq, mp, s))
+                ("mv_body2", stage, step, y_hat_so_far is None),
+                lambda p, yh, v, mq, mp, qd, t, s=step:
+                    body_fn(p, yh, v, mq, mp, qd, t, s))
             if step < 3:
-                y_hat_so_far, idx, means_q = body(
-                    self.params, y_hat_so_far, vals, means_q, mv_params)
+                y_hat_so_far, idx, means_q, tvals = body(
+                    self.params, y_hat_so_far, vals, means_q, mv_params,
+                    q_dec, t_in)
             else:
                 y_hat_so_far = body(
-                    self.params, y_hat_so_far, vals, means_q, mv_params)
+                    self.params, y_hat_so_far, vals, means_q, mv_params,
+                    q_dec, t_in)
 
         mv_y_hat = y_hat_so_far * q_dec
         tail = self._jit(
